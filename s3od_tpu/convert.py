@@ -1,0 +1,266 @@
+"""PyTorch checkpoint <-> JAX pytree conversion.
+
+Keyed on the exact `{'state_dict': ...}` layout written by the reference's
+export script (`scripts/export_model.py:96-106`) and consumed by
+`src/s3od/predictor.py:65-76`. Layout transforms:
+
+- Linear `weight` (out, in)            -> kernel (in, out)
+- Conv2d `weight` (out, in, kh, kw)    -> kernel (kh, kw, in, out)  [HWIO]
+- patch embed conv (hid, 3, p, p)      -> kernel (p*p*3, hid), (kh, kw, c) order
+- ConvT k==s (in, out, k, k)           -> kernel (in, k*k*out) for the
+  matmul depth-to-space lowering (ops/conv.py:conv_transpose_block)
+- ConvT k=4 s=2 p=1 (in, out, 4, 4)    -> spatially-flipped equivalent forward
+  conv HWIO (4, 4, in, out)
+- BatchNorm weight/bias -> params; running_mean/var -> state
+
+Requires torch only when reading .pt files; converted checkpoints can be
+saved/loaded natively (`save_native` / `load_native`, numpy .npz).
+"""
+
+from __future__ import annotations
+
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from s3od_tpu.configs import SegmentationConfig, segmentation_config
+
+
+def _t(arr) -> np.ndarray:
+    """torch tensor -> numpy float32."""
+    return np.asarray(arr.detach().cpu().numpy(), dtype=np.float32)
+
+
+def _linear(sd: Dict, prefix: str, bias: bool = True) -> dict:
+    p = {"kernel": jnp.asarray(_t(sd[prefix + ".weight"]).T)}
+    if bias and prefix + ".bias" in sd:
+        p["bias"] = jnp.asarray(_t(sd[prefix + ".bias"]))
+    return p
+
+
+def _conv(sd: Dict, prefix: str) -> dict:
+    w = _t(sd[prefix + ".weight"])  # (out, in, kh, kw)
+    p = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}
+    if prefix + ".bias" in sd:
+        p["bias"] = jnp.asarray(_t(sd[prefix + ".bias"]))
+    return p
+
+
+def _convt_block(sd: Dict, prefix: str, factor: int) -> dict:
+    w = _t(sd[prefix + ".weight"])  # (in, out, k, k), k == factor
+    cin, cout = w.shape[0], w.shape[1]
+    # (in, out, kh, kw) -> (in, kh, kw, out) -> (in, k*k*out)
+    w = w.transpose(0, 2, 3, 1).reshape(cin, factor * factor * cout)
+    return {
+        "kernel": jnp.asarray(w),
+        "bias": jnp.asarray(_t(sd[prefix + ".bias"])),
+    }
+
+
+def _convt_general(sd: Dict, prefix: str) -> dict:
+    w = _t(sd[prefix + ".weight"])  # (in, out, kh, kw)
+    # Equivalent forward conv: flip spatial, treat as (kh, kw, in, out) HWIO.
+    w = w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    return {
+        "kernel": jnp.asarray(np.ascontiguousarray(w)),
+        "bias": jnp.asarray(_t(sd[prefix + ".bias"])),
+    }
+
+
+def _bn(sd: Dict, prefix: str) -> Tuple[dict, dict]:
+    p = {
+        "weight": jnp.asarray(_t(sd[prefix + ".weight"])),
+        "bias": jnp.asarray(_t(sd[prefix + ".bias"])),
+    }
+    s = {
+        "mean": jnp.asarray(_t(sd[prefix + ".running_mean"])),
+        "var": jnp.asarray(_t(sd[prefix + ".running_var"])),
+    }
+    return p, s
+
+
+def convert_encoder(sd: Dict, cfg) -> dict:
+    """`encoder.*` keys of the state_dict -> encoder param pytree."""
+    pe_w = _t(sd["encoder.embeddings.patch_embeddings.weight"])  # (hid,3,p,p)
+    hid = pe_w.shape[0]
+    # (hid, c, kh, kw) -> (kh, kw, c, hid) -> (kh*kw*c, hid)
+    pe_k = pe_w.transpose(2, 3, 1, 0).reshape(-1, hid)
+
+    blocks = []
+    i = 0
+    while f"encoder.layer.{i}.norm1.weight" in sd:
+        pre = f"encoder.layer.{i}"
+        blocks.append(
+            {
+                "norm1": {
+                    "weight": jnp.asarray(_t(sd[f"{pre}.norm1.weight"])),
+                    "bias": jnp.asarray(_t(sd[f"{pre}.norm1.bias"])),
+                },
+                "attention": {
+                    "q_proj": _linear(sd, f"{pre}.attention.q_proj"),
+                    "k_proj": _linear(sd, f"{pre}.attention.k_proj"),
+                    "v_proj": _linear(sd, f"{pre}.attention.v_proj"),
+                    "o_proj": _linear(sd, f"{pre}.attention.o_proj"),
+                },
+                "ls1": jnp.asarray(_t(sd[f"{pre}.layer_scale1.lambda1"])),
+                "norm2": {
+                    "weight": jnp.asarray(_t(sd[f"{pre}.norm2.weight"])),
+                    "bias": jnp.asarray(_t(sd[f"{pre}.norm2.bias"])),
+                },
+                "mlp": {
+                    "up_proj": _linear(sd, f"{pre}.mlp.up_proj"),
+                    "down_proj": _linear(sd, f"{pre}.mlp.down_proj"),
+                },
+                "ls2": jnp.asarray(_t(sd[f"{pre}.layer_scale2.lambda1"])),
+            }
+        )
+        i += 1
+
+    return {
+        "cls_token": jnp.asarray(_t(sd["encoder.embeddings.cls_token"])),
+        "register_tokens": jnp.asarray(_t(sd["encoder.embeddings.register_tokens"])),
+        "patch_embed": {
+            "kernel": jnp.asarray(pe_k),
+            "bias": jnp.asarray(_t(sd["encoder.embeddings.patch_embeddings.bias"])),
+        },
+        "blocks": blocks,
+    }
+
+
+def convert_head(sd: Dict, cfg: SegmentationConfig) -> Tuple[dict, Optional[dict]]:
+    """`seg_head.*` keys -> (head params, bn state)."""
+
+    def rcu(prefix):
+        p = {"conv1": _conv(sd, prefix + ".conv1"), "conv2": _conv(sd, prefix + ".conv2")}
+        s = None
+        if cfg.use_bn:
+            p["bn1"], s1 = _bn(sd, prefix + ".bn1")
+            p["bn2"], s2 = _bn(sd, prefix + ".bn2")
+            s = {"bn1": s1, "bn2": s2}
+        return p, s
+
+    def refinenet(prefix):
+        p1, s1 = rcu(prefix + ".resConfUnit1")
+        p2, s2 = rcu(prefix + ".resConfUnit2")
+        p = {"out_conv": _conv(sd, prefix + ".out_conv"), "rcu1": p1, "rcu2": p2}
+        s = {"rcu1": s1, "rcu2": s2} if cfg.use_bn else None
+        return p, s
+
+    params = {
+        "projects": [_conv(sd, f"seg_head.projects.{i}") for i in range(4)],
+        "resize": [
+            _convt_block(sd, "seg_head.resize_layers.0", 4),
+            _convt_block(sd, "seg_head.resize_layers.1", 2),
+            None,
+            _conv(sd, "seg_head.resize_layers.3"),
+        ],
+        "scratch": {
+            f"layer{i + 1}_rn": _conv(sd, f"seg_head.scratch.layer{i + 1}_rn")
+            for i in range(4)
+        },
+        "classifier": {
+            "fc1": _linear(sd, "seg_head.classifier_head.2"),
+            "fc2": _linear(sd, "seg_head.classifier_head.4"),
+        },
+        "mask_head": {
+            "output_conv1": _conv(sd, "seg_head.mask_head.output_conv1"),
+            "up_deconv": _convt_general(sd, "seg_head.mask_head.upsample_2x.0"),
+            "up_conv": _conv(sd, "seg_head.mask_head.upsample_2x.2"),
+            "heads": [
+                {
+                    "conv0": _conv(sd, f"seg_head.mask_head.mask_heads.{i}.0"),
+                    "conv1": _conv(sd, f"seg_head.mask_head.mask_heads.{i}.2"),
+                }
+                for i in range(cfg.num_outputs)
+            ],
+        },
+    }
+    state = {} if cfg.use_bn else None
+    for i in (1, 2, 3, 4):
+        p, s = refinenet(f"seg_head.scratch.refinenet{i}")
+        params[f"refinenet{i}"] = p
+        if cfg.use_bn:
+            state[f"refinenet{i}"] = s
+    return params, state
+
+
+def convert_state_dict(
+    sd: Dict, cfg: Optional[SegmentationConfig] = None
+) -> Tuple[dict, Optional[dict], SegmentationConfig]:
+    """Full torch state_dict -> (params, bn_state, cfg)."""
+    if cfg is None:
+        hid = _t(sd["encoder.embeddings.cls_token"]).shape[-1]
+        name = {384: "dinov3_small", 768: "dinov3_base", 1024: "dinov3_large"}[hid]
+        cfg = segmentation_config(name)
+    head_params, state = convert_head(sd, cfg)
+    params = {"encoder": convert_encoder(sd, cfg.encoder), "head": head_params}
+    return params, state, cfg
+
+
+def load_torch_checkpoint(path: str, cfg: Optional[SegmentationConfig] = None):
+    """Load a reference-format .pt checkpoint ({'state_dict': ...})."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    # Lightning checkpoints prefix with 'model.' (`scripts/export_model.py:96-106`).
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    return convert_state_dict(sd, cfg)
+
+
+# ----------------------------------------------------------------------------
+# Native checkpoint format (no torch dependency): flat .npz
+# ----------------------------------------------------------------------------
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        out[prefix[:-1] + "#none"] = np.zeros((0,), np.float32)
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    root: dict = {}
+    for key, val in flat.items():
+        is_none = key.endswith("#none")
+        if is_none:
+            key = key[: -len("#none")]
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = None if is_none else jnp.asarray(val)
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)
+
+
+def save_native(path: str, params: dict, state: Optional[dict] = None) -> None:
+    flat = _flatten({"params": params, "state": state})
+    np.savez(path, **flat)
+
+
+def load_native(path: str):
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    tree = _unflatten(flat)
+    return tree["params"], tree.get("state")

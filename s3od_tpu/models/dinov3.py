@@ -1,0 +1,240 @@
+"""DINOv3 ViT encoder, functional JAX.
+
+Numerically matched to HF `DINOv3ViTModel` as configured by the reference
+(`src/s3od/dinov3_config/config.json`): RoPE over patch-center coordinates in
+[-1, 1] with theta=100 applied to patch tokens only, CLS + 4 register prefix
+tokens, pre-norm blocks with LayerScale, exact (erf) GELU MLP, fp32 softmax.
+
+TPU-first choices:
+- patch embedding as reshape + matmul (MXU) instead of an explicit conv
+- activations NHWC / (B, N, C); bf16 compute with fp32 layernorm/softmax
+- the final block(s) past the last feature tap are never executed — the
+  reference taps hidden_states [2,5,8,11] (= block outputs 1,4,7,10, see
+  `src/s3od/model.py:36-40,62-86`), leaving its last block dead compute.
+
+Param pytree layout (converted from the torch state_dict by
+`s3od_tpu/convert.py`): linears are (in, out) kernels, patch embed is a
+(patch*patch*3, hidden) kernel in (kh, kw, c) input order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s3od_tpu.configs import EncoderConfig
+from s3od_tpu.ops.attention import multi_head_attention
+from s3od_tpu.ops.precision import dot_precision
+
+
+def rope_cos_sin(
+    num_patches_h: int,
+    num_patches_w: int,
+    head_dim: int,
+    theta: float,
+    coord_scale: Optional[jax.Array] = None,
+):
+    """Rotary embedding tables for the patch grid, fp32.
+
+    Patch-center coordinates normalized to [-1, 1]; inv_freq has head_dim/4
+    entries; angles are (N, 2, head_dim/4) flattened then tiled x2 to
+    (N, head_dim). `coord_scale` (traced scalar) implements the training-time
+    `pos_embed_rescale` augmentation.
+    """
+    dim4 = head_dim // 4
+    inv_freq = 1.0 / theta ** np.arange(0, 1, 1.0 / dim4, dtype=np.float64)
+    coords_h = (np.arange(0.5, num_patches_h, dtype=np.float64) / num_patches_h) * 2 - 1
+    coords_w = (np.arange(0.5, num_patches_w, dtype=np.float64) / num_patches_w) * 2 - 1
+    hh, ww = np.meshgrid(coords_h, coords_w, indexing="ij")
+    coords = np.stack([hh.reshape(-1), ww.reshape(-1)], axis=-1)  # (N, 2)
+    coords = jnp.asarray(coords, dtype=jnp.float32)
+    if coord_scale is not None:
+        coords = coords * coord_scale
+    inv_freq = jnp.asarray(inv_freq, dtype=jnp.float32)
+    angles = 2.0 * math.pi * coords[:, :, None] * inv_freq[None, None, :]
+    angles = angles.reshape(angles.shape[0], -1)
+    angles = jnp.tile(angles, (1, 2))  # (N, head_dim)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def sample_rope_coord_scale(key: jax.Array, rescale: float) -> jax.Array:
+    """Log-uniform coordinate rescale in [1/rescale, rescale] (training aug)."""
+    log_r = math.log(rescale)
+    return jnp.exp(jax.random.uniform(key, (), minval=-log_r, maxval=log_r))
+
+
+def _layer_norm(x: jax.Array, p: dict, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _linear(x: jax.Array, p: dict) -> jax.Array:
+    k = p["kernel"].astype(x.dtype)
+    y = jnp.matmul(x, k, precision=dot_precision(x, k))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rope(q, k, cos, sin, n_prefix: int):
+    """RoPE on patch tokens only; prefix (CLS+registers) untouched.
+
+    q, k: (B, N, H, D); cos/sin: (N_patches, D).
+    """
+    cos = cos.astype(q.dtype)[None, :, None, :]
+    sin = sin.astype(q.dtype)[None, :, None, :]
+
+    def rot(t):
+        prefix, patches = t[:, :n_prefix], t[:, n_prefix:]
+        patches = patches * cos + _rotate_half(patches) * sin
+        return jnp.concatenate([prefix, patches], axis=1)
+
+    return rot(q), rot(k)
+
+
+def _attention(p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str):
+    b, n, _ = x.shape
+    h, d = cfg.num_heads, cfg.head_dim
+    q = _linear(x, p["q_proj"]).reshape(b, n, h, d)
+    k = _linear(x, p["k_proj"]).reshape(b, n, h, d)
+    v = _linear(x, p["v_proj"]).reshape(b, n, h, d)
+    q, k = _apply_rope(q, k, cos, sin, cfg.num_prefix_tokens)
+    out = multi_head_attention(q, k, v, scale=d**-0.5, impl=attn_impl)
+    out = out.reshape(b, n, h * d)
+    return _linear(out, p["o_proj"])
+
+
+def _mlp(p: dict, x: jax.Array, cfg: EncoderConfig) -> jax.Array:
+    h = _linear(x, p["up_proj"])
+    h = jax.nn.gelu(h, approximate=False)
+    if cfg.use_gated_mlp:
+        h = h * _linear(x, p["gate_up"])  # pragma: no cover (base configs: off)
+    return _linear(h, p["down_proj"])
+
+
+def vit_block(p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str):
+    h = _layer_norm(x, p["norm1"], cfg.layer_norm_eps)
+    h = _attention(p["attention"], h, cos, sin, cfg, attn_impl)
+    x = x + h * p["ls1"].astype(x.dtype)
+    h = _layer_norm(x, p["norm2"], cfg.layer_norm_eps)
+    h = _mlp(p["mlp"], h, cfg)
+    x = x + h * p["ls2"].astype(x.dtype)
+    return x
+
+
+def patch_embed(p: dict, images: jax.Array, patch: int) -> jax.Array:
+    """images: (B, H, W, 3) -> tokens (B, h*w, C). Reshape+matmul (MXU path)."""
+    b, H, W, c = images.shape
+    h, w = H // patch, W // patch
+    x = images[:, : h * patch, : w * patch, :]
+    x = x.reshape(b, h, patch, w, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (b, h, w, ph, pw, c)
+    x = x.reshape(b, h * w, patch * patch * c)
+    k = p["kernel"].astype(x.dtype)
+    return jnp.matmul(x, k, precision=dot_precision(x, k)) + p["bias"].astype(x.dtype)
+
+
+def encoder_forward(
+    params: dict,
+    images: jax.Array,
+    cfg: EncoderConfig,
+    tap_layers: Sequence[int],
+    *,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "auto",
+    rope_coord_scale: Optional[jax.Array] = None,
+) -> List[jax.Array]:
+    """Run the encoder, returning patch-token features at each tap.
+
+    `tap_layers` follow HF hidden_states indexing: tap t is the output of
+    block t-1 (t=0 would be the embedding output). Only blocks 0..max(taps)-1
+    are executed. Returns a list of (B, N_patches, C) arrays (prefix tokens
+    already stripped, mirroring `src/s3od/model.py:80-84`).
+    """
+    b, H, W, _ = images.shape
+    patch = cfg.patch_size
+    h, w = H // patch, W // patch
+
+    x = patch_embed(params["patch_embed"], images.astype(compute_dtype), patch)
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(compute_dtype), (b, 1, cfg.hidden_size)
+    )
+    regs = jnp.broadcast_to(
+        params["register_tokens"].astype(compute_dtype),
+        (b, cfg.num_register_tokens, cfg.hidden_size),
+    )
+    x = jnp.concatenate([cls, regs, x], axis=1)
+
+    cos, sin = rope_cos_sin(h, w, cfg.head_dim, cfg.rope_theta, rope_coord_scale)
+
+    taps = {}
+    max_tap = max(tap_layers)
+    for i in range(max_tap):
+        x = vit_block(params["blocks"][i], x, cos, sin, cfg, attn_impl)
+        if (i + 1) in tap_layers:
+            taps[i + 1] = x
+
+    n_prefix = cfg.num_prefix_tokens
+    return [taps[t][:, n_prefix:, :] for t in tap_layers]
+
+
+# ----------------------------------------------------------------------------
+# Initialization (for training from scratch / tests; pretrained weights come
+# from the converter).
+# ----------------------------------------------------------------------------
+
+
+def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> dict:
+    ks = jax.random.split(key, cfg.num_layers + 3)
+    std = 0.02
+
+    def trunc(k, shape):
+        return std * jax.random.truncated_normal(k, -2.0, 2.0, shape, jnp.float32)
+
+    def linear(k, din, dout, bias=True):
+        p = {"kernel": trunc(k, (din, dout))}
+        if bias:
+            p["bias"] = jnp.zeros((dout,), jnp.float32)
+        return p
+
+    def block(k):
+        kk = jax.random.split(k, 6)
+        d, m = cfg.hidden_size, cfg.intermediate_size
+        return {
+            "norm1": {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "attention": {
+                "q_proj": linear(kk[0], d, d, cfg.query_bias),
+                "k_proj": linear(kk[1], d, d, cfg.key_bias),
+                "v_proj": linear(kk[2], d, d, cfg.value_bias),
+                "o_proj": linear(kk[3], d, d, cfg.proj_bias),
+            },
+            "ls1": jnp.full((d,), cfg.layerscale_value, jnp.float32),
+            "norm2": {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "mlp": {
+                "up_proj": linear(kk[4], d, m, cfg.mlp_bias),
+                "down_proj": linear(kk[5], m, d, cfg.mlp_bias),
+            },
+            "ls2": jnp.full((d,), cfg.layerscale_value, jnp.float32),
+        }
+
+    return {
+        "cls_token": trunc(ks[0], (1, 1, cfg.hidden_size)),
+        "register_tokens": trunc(ks[1], (1, cfg.num_register_tokens, cfg.hidden_size)),
+        "patch_embed": linear(
+            ks[2], cfg.patch_size * cfg.patch_size * 3, cfg.hidden_size
+        ),
+        "blocks": [block(ks[3 + i]) for i in range(cfg.num_layers)],
+    }

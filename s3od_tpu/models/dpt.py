@@ -1,0 +1,291 @@
+"""DPT decoder: neck projections, RefineNet-style fusion, multi-mask + IoU heads.
+
+Re-architecture of the reference decoder (`src/s3od/model.py:109-467`) in NHWC
+with matmul-lowered transposed convs. Structure (for patch grid p):
+
+  taps (B, N, C) x4
+    -> 1x1 project to [256, 512, 1024, 1024]   (`model.py:135-142`)
+    -> resize: x4 (convT), x2 (convT), id, /2 (s2 conv)  (`model.py:144-159`)
+    -> 3x3 scratch convs to `features`         (`model.py:244-298`)
+    -> refinenet4..1 fusion (RCU w/ BN + 2x bilinear upsample) (`model.py:348-405`)
+  path_1 (B, 8p, 8p, F)
+    -> classifier head: GAP -> 64 -> 3 IoU logits  (`model.py:182-191`)
+    -> mask head: 3x3 conv -> convT x2 -> 2 convs -> 3 mask branches
+       (`model.py:421-467`)
+
+BatchNorm state (running stats) is threaded separately from params.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.configs import SegmentationConfig
+from s3od_tpu.ops.conv import (
+    batch_norm,
+    conv1x1,
+    conv2d,
+    conv_transpose2d,
+    conv_transpose_block,
+)
+from s3od_tpu.ops.precision import dot_precision
+from s3od_tpu.ops.resize import resize_bilinear
+
+
+def _residual_conv_unit(
+    p: dict,
+    s: Optional[dict],
+    x: jax.Array,
+    use_bn: bool,
+    training: bool,
+    axis_name,
+) -> Tuple[jax.Array, Optional[dict]]:
+    """ReLU -> conv -> [BN] -> ReLU -> conv -> [BN] -> + x."""
+    new_s = {} if use_bn else None
+    out = jax.nn.relu(x)
+    out = conv2d(out, p["conv1"], padding=1)
+    if use_bn:
+        out, new_s["bn1"] = batch_norm(
+            out, p["bn1"], s["bn1"], training=training, axis_name=axis_name
+        )
+    out = jax.nn.relu(out)
+    out = conv2d(out, p["conv2"], padding=1)
+    if use_bn:
+        out, new_s["bn2"] = batch_norm(
+            out, p["bn2"], s["bn2"], training=training, axis_name=axis_name
+        )
+    return out + x, new_s
+
+
+def _fusion_block(
+    p: dict,
+    s: Optional[dict],
+    x: jax.Array,
+    res: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    use_bn: bool,
+    training: bool,
+    axis_name,
+) -> Tuple[jax.Array, Optional[dict]]:
+    new_s = {} if use_bn else None
+    if res is not None:
+        r, rs = _residual_conv_unit(p["rcu1"], s and s.get("rcu1"), res, use_bn, training, axis_name)
+        if use_bn:
+            new_s["rcu1"] = rs
+        x = x + r
+    x, rs = _residual_conv_unit(p["rcu2"], s and s.get("rcu2"), x, use_bn, training, axis_name)
+    if use_bn:
+        new_s["rcu2"] = rs
+    x = resize_bilinear(x, out_hw)
+    x = conv1x1(x, p["out_conv"])
+    return x, new_s
+
+
+def dpt_head_forward(
+    params: dict,
+    state: Optional[dict],
+    tap_features: List[jax.Array],
+    patch_hw: Tuple[int, int],
+    cfg: SegmentationConfig,
+    *,
+    training: bool = False,
+    axis_name: Optional[str] = None,
+):
+    """tap_features: 4 x (B, N, C) patch tokens. Returns (outputs, new_state).
+
+    outputs = {"pred_masks": (B, n_out, H, W), "pred_iou": (B, n_out),
+               "features": (B, 8p_h, 8p_w, F) NHWC}
+    """
+    ph, pw = patch_hw
+    use_bn = cfg.use_bn
+    new_state = {} if use_bn else None
+
+    # Neck: project + resize each tap to its pyramid level.
+    feats = []
+    for i, t in enumerate(tap_features):
+        b, n, c = t.shape
+        x = t.reshape(b, ph, pw, c)
+        x = conv1x1(x, params["projects"][i])
+        if i == 0:
+            x = conv_transpose_block(x, params["resize"][0], 4)
+        elif i == 1:
+            x = conv_transpose_block(x, params["resize"][1], 2)
+        elif i == 3:
+            x = conv2d(x, params["resize"][3], stride=2, padding=1)
+        feats.append(x)
+
+    rn = [
+        conv2d(feats[i], params["scratch"][f"layer{i + 1}_rn"], padding=1)
+        for i in range(4)
+    ]
+
+    def hw(a):
+        return (a.shape[1], a.shape[2])
+
+    path4, s4 = _fusion_block(
+        params["refinenet4"], state and state.get("refinenet4"), rn[3], None,
+        hw(rn[2]), use_bn, training, axis_name,
+    )
+    path3, s3 = _fusion_block(
+        params["refinenet3"], state and state.get("refinenet3"), path4, rn[2],
+        hw(rn[1]), use_bn, training, axis_name,
+    )
+    path2, s2 = _fusion_block(
+        params["refinenet2"], state and state.get("refinenet2"), path3, rn[1],
+        hw(rn[0]), use_bn, training, axis_name,
+    )
+    path1, s1 = _fusion_block(
+        params["refinenet1"], state and state.get("refinenet1"), path2, rn[0],
+        (rn[0].shape[1] * 2, rn[0].shape[2] * 2), use_bn, training, axis_name,
+    )
+    if use_bn:
+        new_state = {
+            "refinenet4": s4,
+            "refinenet3": s3,
+            "refinenet2": s2,
+            "refinenet1": s1,
+        }
+
+    # IoU head: GAP -> 64 -> ReLU -> n_out (`model.py:182-191`).
+    pooled = jnp.mean(path1.astype(jnp.float32), axis=(1, 2)).astype(path1.dtype)
+    fc1_k = params["classifier"]["fc1"]["kernel"].astype(pooled.dtype)
+    iou = jnp.matmul(pooled, fc1_k, precision=dot_precision(pooled, fc1_k))
+    iou = iou + params["classifier"]["fc1"]["bias"].astype(pooled.dtype)
+    iou = jax.nn.relu(iou)
+    fc2_k = params["classifier"]["fc2"]["kernel"].astype(pooled.dtype)
+    iou = jnp.matmul(iou, fc2_k, precision=dot_precision(iou, fc2_k))
+    iou = iou + params["classifier"]["fc2"]["bias"].astype(pooled.dtype)
+
+    # Mask head (`model.py:421-467`).
+    mh = params["mask_head"]
+    feat = conv2d(path1, mh["output_conv1"], padding=1)
+    feat = conv_transpose2d(feat, mh["up_deconv"], stride=2, padding=1)
+    feat = jax.nn.relu(feat)
+    feat = conv2d(feat, mh["up_conv"], padding=1)
+    feat = jax.nn.relu(feat)
+    target = (ph * cfg.encoder.patch_size, pw * cfg.encoder.patch_size)
+    # At any canvas size feat is already at target (8p -> convT x2 = 16p), so
+    # this antialiased resize (`model.py:457-459`) is a no-op; kept for safety.
+    feat = resize_bilinear(feat, target, antialias=True)
+
+    masks = []
+    for head in mh["heads"]:
+        m = conv2d(feat, head["conv0"], padding=1)
+        m = jax.nn.relu(m)
+        m = conv1x1(m, head["conv1"])
+        masks.append(m[..., 0])
+    pred_masks = jnp.stack(masks, axis=1)  # (B, n_out, H, W)
+
+    return (
+        {"pred_masks": pred_masks, "pred_iou": iou, "features": path1},
+        new_state,
+    )
+
+
+# ----------------------------------------------------------------------------
+# Init
+# ----------------------------------------------------------------------------
+
+
+def init_dpt_params(key: jax.Array, cfg: SegmentationConfig):
+    """Kaiming-uniform conv init (torch default) equivalents; returns
+    (params, state)."""
+    import numpy as np
+
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).sum() % (2**31))
+
+    def conv(cin, cout, k, bias=True):
+        fan_in = cin * k * k
+        bound = float(np.sqrt(1.0 / fan_in))
+        w = rng.uniform(-np.sqrt(6.0 / fan_in), np.sqrt(6.0 / fan_in), (k, k, cin, cout))
+        p = {"kernel": jnp.asarray(w, jnp.float32)}
+        if bias:
+            p["bias"] = jnp.asarray(rng.uniform(-bound, bound, (cout,)), jnp.float32)
+        return p
+
+    def convt_block(cin, cout, f):
+        fan_in = cin * f * f
+        bound = float(np.sqrt(1.0 / fan_in))
+        w = rng.uniform(
+            -np.sqrt(6.0 / fan_in), np.sqrt(6.0 / fan_in), (cin, f * f * cout)
+        )
+        return {
+            "kernel": jnp.asarray(w, jnp.float32),
+            "bias": jnp.asarray(rng.uniform(-bound, bound, (cout,)), jnp.float32),
+        }
+
+    def linear(cin, cout):
+        bound = float(np.sqrt(1.0 / cin))
+        return {
+            "kernel": jnp.asarray(rng.uniform(-bound, bound, (cin, cout)), jnp.float32),
+            "bias": jnp.asarray(rng.uniform(-bound, bound, (cout,)), jnp.float32),
+        }
+
+    F_ = cfg.features
+    bn_p = lambda c: {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+    bn_s = lambda c: {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+    def rcu():
+        p = {"conv1": conv(F_, F_, 3), "conv2": conv(F_, F_, 3)}
+        if cfg.use_bn:
+            p["bn1"], p["bn2"] = bn_p(F_), bn_p(F_)
+        return p
+
+    def rcu_state():
+        return {"bn1": bn_s(F_), "bn2": bn_s(F_)} if cfg.use_bn else None
+
+    def refinenet():
+        return {"out_conv": conv(F_, F_, 1), "rcu1": rcu(), "rcu2": rcu()}
+
+    def refinenet_state():
+        return {"rcu1": rcu_state(), "rcu2": rcu_state()} if cfg.use_bn else None
+
+    d = cfg.encoder.hidden_size
+    oc = list(cfg.neck_channels)
+    inter = cfg.mask_inter_features
+
+    params = {
+        "projects": [conv(d, c, 1) for c in oc],
+        "resize": [
+            convt_block(oc[0], oc[0], 4),
+            convt_block(oc[1], oc[1], 2),
+            None,
+            conv(oc[3], oc[3], 3),
+        ],
+        "scratch": {
+            f"layer{i + 1}_rn": {"kernel": conv(oc[i], F_, 3, bias=False)["kernel"]}
+            for i in range(4)
+        },
+        "refinenet1": refinenet(),
+        "refinenet2": refinenet(),
+        "refinenet3": refinenet(),
+        "refinenet4": refinenet(),
+        "classifier": {"fc1": linear(F_, 64), "fc2": linear(64, cfg.num_outputs)},
+        "mask_head": {
+            "output_conv1": conv(F_, F_ // 2, 3),
+            "up_deconv": conv(inter * 2, inter * 2, 4),  # placeholder, fixed below
+            "up_conv": conv(inter * 2, inter * 2, 3),
+            "heads": [
+                {"conv0": conv(inter * 2, inter, 3), "conv1": conv(inter, 1, 1)}
+                for _ in range(cfg.num_outputs)
+            ],
+        },
+    }
+    # up_deconv: ConvT(F/2 -> inter*2, k4 s2 p1) stored as equivalent-forward
+    # HWIO kernel (4, 4, F//2, inter*2).
+    params["mask_head"]["up_deconv"] = conv(F_ // 2, inter * 2, 4)
+
+    state = (
+        {
+            "refinenet1": refinenet_state(),
+            "refinenet2": refinenet_state(),
+            "refinenet3": refinenet_state(),
+            "refinenet4": refinenet_state(),
+        }
+        if cfg.use_bn
+        else None
+    )
+    return params, state

@@ -1,0 +1,71 @@
+"""Full segmentation model: DINOv3 encoder + DPT decoder.
+
+Equivalent of the reference `DPTSegmentation.forward` (`src/s3od/model.py:99-106`):
+images -> encoder taps -> DPT head -> {pred_masks, pred_iou, features}.
+
+Functional API:
+    params, state = init_segmentation_params(key, cfg)
+    outputs, new_state = segmentation_forward(params, state, images_nhwc, cfg)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.configs import SegmentationConfig
+from s3od_tpu.models.dinov3 import encoder_forward, init_encoder_params
+from s3od_tpu.models.dpt import dpt_head_forward, init_dpt_params
+
+
+def segmentation_forward(
+    params: dict,
+    state: Optional[dict],
+    images: jax.Array,
+    cfg: SegmentationConfig,
+    *,
+    training: bool = False,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "auto",
+    rope_coord_scale: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> Tuple[dict, Optional[dict]]:
+    """images: (B, H, W, 3) normalized float. Returns (outputs, new_bn_state)."""
+    h, w = images.shape[1], images.shape[2]
+    patch = cfg.encoder.patch_size
+    ph, pw = h // patch, w // patch
+
+    taps = encoder_forward(
+        params["encoder"],
+        images,
+        cfg.encoder,
+        cfg.tap_layers,
+        compute_dtype=compute_dtype,
+        attn_impl=attn_impl,
+        rope_coord_scale=rope_coord_scale,
+    )
+    outputs, new_state = dpt_head_forward(
+        params["head"],
+        state,
+        taps,
+        (ph, pw),
+        cfg,
+        training=training,
+        axis_name=axis_name,
+    )
+    # Keep the public contract in fp32 (masks/iou logits).
+    outputs["pred_masks"] = outputs["pred_masks"].astype(jnp.float32)
+    outputs["pred_iou"] = outputs["pred_iou"].astype(jnp.float32)
+    return outputs, new_state
+
+
+def init_segmentation_params(key: jax.Array, cfg: SegmentationConfig):
+    k_enc, k_head = jax.random.split(key)
+    head_params, state = init_dpt_params(k_head, cfg)
+    params = {
+        "encoder": init_encoder_params(k_enc, cfg.encoder),
+        "head": head_params,
+    }
+    return params, state

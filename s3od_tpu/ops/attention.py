@@ -1,0 +1,69 @@
+"""Attention ops.
+
+The ViT runs at 1024² → 4096 patch tokens + 5 prefix tokens = 4101 sequence
+length (reference hot loop #1, SURVEY.md §3.1). Two implementations:
+
+- ``xla``: plain einsum attention with fp32 softmax accumulation. XLA already
+  fuses this well on TPU and it is the reference-numerics baseline.
+- ``flash``: Pallas TPU flash-attention kernel (see s3od_tpu/ops/flash_attention.py),
+  used automatically on TPU backends for long sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.ops.precision import dot_precision
+
+
+def _xla_attention(q, k, v, scale):
+    """q, k, v: (B, N, H, D). Softmax in fp32 regardless of input dtype."""
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(q, k),
+    )
+    logits = logits * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.astype(v.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, v, precision=dot_precision(probs, v))
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    try:
+        import jax.experimental.pallas  # noqa: F401
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Multi-head attention over (B, N, H, D) tensors. Returns (B, N, H, D).
+
+    ``impl``: "auto" | "xla" | "flash".
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "flash" if (_flash_available() and q.shape[1] >= 1024) else "xla"
+    if impl == "flash":
+        from s3od_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)

@@ -1,0 +1,118 @@
+"""API-contract tests for the inference package.
+
+Ports the reference test surface (`tests/test_inference_package.py` in the
+reference: RemovalResult structure, shape preservation across aspect ratios,
+N masks == N ious) using a deterministic tiny model — the fake-model path the
+reference lacks (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from s3od_tpu.configs import tiny_test_config
+from s3od_tpu.models.segmentation import init_segmentation_params
+from s3od_tpu.predictor import BackgroundRemoval, RemovalResult
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    return BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+
+
+def test_removal_result_structure(predictor, circle_image):
+    img, _ = circle_image
+    result = predictor.remove_background(img)
+    assert isinstance(result, RemovalResult)
+    assert result.predicted_mask.shape == img.shape[:2]
+    assert result.all_masks.shape == (3,) + img.shape[:2]
+    assert result.all_ious.shape == (3,)
+    assert result.rgba_image.mode == "RGBA"
+    assert result.rgba_image.size == (img.shape[1], img.shape[0])
+    assert result.predicted_mask.min() >= 0.0
+    assert result.predicted_mask.max() <= 1.0
+
+
+def test_bad_model_id_raises():
+    with pytest.raises(ValueError):
+        BackgroundRemoval(model_id="/nonexistent/path/to/model.pt")
+
+
+def test_numpy_and_pil_parity(predictor, circle_image):
+    img, _ = circle_image
+    r_np = predictor.remove_background(img)
+    r_pil = predictor.remove_background(Image.fromarray(img))
+    np.testing.assert_allclose(r_np.predicted_mask, r_pil.predicted_mask, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(100, 100), (900, 900), (200, 400), (400, 200)])
+def test_shape_preservation(predictor, shape):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=shape + (3,), dtype=np.uint8)
+    result = predictor.remove_background(img)
+    assert result.predicted_mask.shape == shape
+    assert result.rgba_image.size == (shape[1], shape[0])
+
+
+def test_num_masks_matches_num_ious(predictor, circle_image):
+    img, _ = circle_image
+    result = predictor.remove_background(img)
+    assert len(result.all_masks) == len(result.all_ious) == 3
+
+
+def test_predicted_is_argmax_iou(predictor, circle_image):
+    img, _ = circle_image
+    result = predictor.remove_background(img)
+    best = int(result.all_ious.argmax())
+    np.testing.assert_array_equal(result.predicted_mask, result.all_masks[best])
+
+
+def test_alpha_matches_mask(predictor, circle_image):
+    img, _ = circle_image
+    result = predictor.remove_background(img)
+    alpha = np.asarray(result.rgba_image)[..., 3]
+    np.testing.assert_array_equal(
+        alpha, (result.predicted_mask * 255).astype(np.uint8)
+    )
+
+
+def test_batch_matches_single(predictor, circle_image):
+    img, _ = circle_image
+    rng = np.random.default_rng(3)
+    img2 = rng.integers(0, 255, size=(160, 120, 3), dtype=np.uint8)
+    batch = predictor.remove_background_batch([img, img2])
+    singles = [predictor.remove_background(img), predictor.remove_background(img2)]
+    for b, s in zip(batch, singles):
+        np.testing.assert_allclose(b.predicted_mask, s.predicted_mask, atol=1e-5)
+
+
+def test_visualizers(predictor, circle_image):
+    from s3od_tpu.visualizer import visualize_all_masks, visualize_removal
+
+    img, _ = circle_image
+    result = predictor.remove_background(img)
+    comp = visualize_removal(img, result)
+    assert comp.size == (img.shape[1], img.shape[0])
+    grid = visualize_all_masks(img, result)
+    assert grid.size == (img.shape[1] * 3, img.shape[0])
+
+
+def test_native_checkpoint_roundtrip(tmp_path, predictor, circle_image):
+    from s3od_tpu.convert import load_native, save_native
+
+    img, _ = circle_image
+    path = str(tmp_path / "model.npz")
+    save_native(path, predictor.params, predictor.state)
+    params2, state2 = load_native(path)
+    p2 = BackgroundRemoval.from_params(
+        params2, state2, predictor.cfg, image_size=128, dtype="float32"
+    )
+    r1 = predictor.remove_background(img)
+    r2 = p2.remove_background(img)
+    np.testing.assert_allclose(r1.predicted_mask, r2.predicted_mask, atol=1e-6)

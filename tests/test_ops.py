@@ -1,0 +1,119 @@
+"""Unit tests for core ops: resize parity vs torch, conv-transpose lowering."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.ops.resize import resize_bilinear, resize_bilinear_numpy
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw,antialias",
+    [
+        ((64, 64), (128, 128), False),
+        ((64, 48), (37, 91), False),
+        ((128, 128), (64, 64), True),
+        ((100, 100), (256, 256), True),
+        ((200, 150), (97, 61), True),
+    ],
+)
+def test_resize_matches_torch(in_hw, out_hw, antialias):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3) + in_hw).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(x), size=out_hw, mode="bilinear",
+        align_corners=False, antialias=antialias,
+    ).numpy()
+    got_np = resize_bilinear_numpy(x, out_hw, antialias=antialias, h_axis=2, w_axis=3)
+    np.testing.assert_allclose(got_np, ref, atol=5e-4)
+    got_jax = np.asarray(
+        resize_bilinear(jnp.asarray(x), out_hw, antialias=antialias, h_axis=2, w_axis=3)
+    )
+    np.testing.assert_allclose(got_jax, ref, atol=5e-4)
+
+
+def test_upsample2x_fast_path_matches_matrix():
+    from s3od_tpu.ops.resize import _apply_axis_matrix, _linear_resize_matrix
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)).astype(np.float32))
+    fast = resize_bilinear(x, (32, 48))
+    wh = _linear_resize_matrix(16, 32, False)
+    ww = _linear_resize_matrix(24, 48, False)
+    slow = _apply_axis_matrix(_apply_axis_matrix(x, wh, 1), ww, 2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-6)
+
+
+@pytest.mark.parametrize("k,s,p", [(4, 4, 0), (2, 2, 0), (4, 2, 1)])
+def test_conv_transpose_matches_torch(k, s, p):
+    torch = pytest.importorskip("torch")
+
+    from s3od_tpu.ops.conv import conv_transpose2d, conv_transpose_block
+
+    torch.manual_seed(0)
+    m = torch.nn.ConvTranspose2d(8, 6, kernel_size=k, stride=s, padding=p)
+    x = torch.randn(2, 8, 10, 12)
+    with torch.no_grad():
+        ref = m(x).numpy()
+
+    w = m.weight.detach().numpy()  # (in, out, kh, kw)
+    b = m.bias.detach().numpy()
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    if k == s and p == 0:
+        kernel = w.transpose(0, 2, 3, 1).reshape(8, k * k * 6)
+        got = conv_transpose_block(
+            xj, {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(b)}, k
+        )
+    else:
+        kernel = np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+        got = conv_transpose2d(
+            xj,
+            {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(b)},
+            stride=s,
+            padding=p,
+        )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_batch_norm_eval_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    from s3od_tpu.ops.conv import batch_norm
+
+    torch.manual_seed(0)
+    bn = torch.nn.BatchNorm2d(16)
+    bn.running_mean.uniform_(-1, 1)
+    bn.running_var.uniform_(0.5, 2)
+    bn.weight.data.uniform_(0.5, 2)
+    bn.bias.data.uniform_(-1, 1)
+    bn.eval()
+    x = torch.randn(2, 16, 8, 8)
+    with torch.no_grad():
+        ref = bn(x).numpy()
+    got, _ = batch_norm(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        {"weight": jnp.asarray(bn.weight.detach().numpy()),
+         "bias": jnp.asarray(bn.bias.detach().numpy())},
+        {"mean": jnp.asarray(bn.running_mean.numpy()),
+         "var": jnp.asarray(bn.running_var.numpy())},
+        training=False,
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+
+def test_flash_attention_fallback_matches_xla():
+    from s3od_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 64, 4, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 64, 4, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 64, 4, 32)).astype(np.float32))
+    ref = multi_head_attention(q, k, v, impl="xla")
+    auto = multi_head_attention(q, k, v, impl="auto")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(auto), atol=1e-5)

@@ -1,0 +1,106 @@
+"""Numerical parity of the JAX model vs the PyTorch reference (random weights).
+
+Mirrors the reference's export-verification contract
+(`scripts/export_model.py:46-80`: max-abs-diff < 1e-5 over random inputs),
+applied to our rebuild instead of TorchScript.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.configs import segmentation_config
+from s3od_tpu.convert import convert_state_dict
+from s3od_tpu.models.segmentation import segmentation_forward
+
+pytestmark = pytest.mark.parity
+
+
+@pytest.fixture(scope="module")
+def converted(torch_reference_model):
+    cfg = segmentation_config("dinov3_base")
+    params, state, _ = convert_state_dict(
+        {k: v for k, v in torch_reference_model.state_dict().items()}, cfg
+    )
+    return params, state, cfg
+
+
+def _torch_forward(model, x_nchw):
+    import torch
+
+    with torch.no_grad():
+        out = model(torch.from_numpy(x_nchw))
+    return {k: v.numpy() for k, v in out.items()}
+
+
+def _jax_forward(params, state, cfg, x_nchw, attn_impl="xla"):
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    out, _ = segmentation_forward(
+        params, state, x, cfg, training=False, attn_impl=attn_impl
+    )
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+@pytest.mark.parametrize("size", [256, 224])
+def test_full_model_parity(torch_reference_model, converted, size):
+    params, state, cfg = converted
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((1, 3, size, size), dtype=np.float32)
+
+    ref = _torch_forward(torch_reference_model, x)
+    got = _jax_forward(params, state, cfg, x)
+
+    assert got["pred_masks"].shape == ref["pred_masks"].shape
+    assert got["pred_iou"].shape == ref["pred_iou"].shape
+
+    mask_diff = np.abs(got["pred_masks"] - ref["pred_masks"]).max()
+    iou_diff = np.abs(got["pred_iou"] - ref["pred_iou"]).max()
+    assert mask_diff < 2e-4, f"pred_masks max diff {mask_diff}"
+    assert iou_diff < 2e-4, f"pred_iou max diff {iou_diff}"
+
+    # Thresholded masks must agree essentially everywhere (>=0.999 IoU proxy).
+    ref_bin = ref["pred_masks"] > 0
+    got_bin = got["pred_masks"] > 0
+    agree = (ref_bin == got_bin).mean()
+    assert agree > 0.999
+
+
+def test_encoder_taps_parity(torch_reference_model, converted):
+    import torch
+
+    params, state, cfg = converted
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 128, 128), dtype=np.float32)
+
+    with torch.no_grad():
+        feats_ref = torch_reference_model.extract_intermediate_features(
+            torch.from_numpy(x)
+        )
+    from s3od_tpu.models.dinov3 import encoder_forward
+
+    taps = encoder_forward(
+        params["encoder"],
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        cfg.encoder,
+        cfg.tap_layers,
+        attn_impl="xla",
+    )
+    for i, (ref_tuple, got) in enumerate(zip(feats_ref, taps)):
+        ref = ref_tuple[0].numpy()
+        diff = np.abs(np.asarray(got) - ref).max()
+        assert diff < 5e-5, f"tap {i} max diff {diff}"
+
+
+def test_batched_matches_single(converted):
+    """Batched inference (a capability the reference lacks) must equal
+    per-image inference."""
+    params, state, cfg = converted
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 3, 128, 128), dtype=np.float32)
+    both = _jax_forward(params, state, cfg, x)
+    one = _jax_forward(params, state, cfg, x[:1])
+    np.testing.assert_allclose(
+        both["pred_masks"][:1], one["pred_masks"], atol=1e-5, rtol=0
+    )
