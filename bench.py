@@ -1,0 +1,108 @@
+"""North-star benchmark: images/sec/chip at 1024x1024 background removal.
+
+Protocol (TPU equivalent of the reference's `test_efficiency.py:24-54`, which
+times 100 synchronized model forwards): steady-state throughput of the full
+jitted inference graph — uint8 NHWC input, on-device normalize -> DINOv3-B
+encoder -> DPT head -> sigmoid masks + IoUs — swept over batch sizes; the
+best images/sec is reported.
+
+Baseline assumption for `vs_baseline`: the reference stack (PyTorch fp32,
+batch 1, A100) runs this model at ~25 img/s at 1024x1024; the BASELINE.md
+target is >=10x per v5e chip (i.e. >=250 img/s). The reference publishes no
+numbers (BASELINE.md), so 25 img/s is our documented estimate of the A100
+PyTorch throughput for this 86M-param ViT-B + DPT at 1024x1024.
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_PYTORCH_BASELINE_IMG_S = 25.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.segmentation import (
+        init_segmentation_params,
+        segmentation_forward,
+    )
+
+    cfg = segmentation_config("dinov3_base")
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    inv_std = 1.0 / (jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0)
+
+    @jax.jit
+    def forward(params, state, images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) * inv_std
+        out, _ = segmentation_forward(
+            params, state, x.astype(jnp.bfloat16), cfg,
+            training=False, compute_dtype=jnp.bfloat16,
+        )
+        return jax.nn.sigmoid(out["pred_masks"]), jax.nn.sigmoid(out["pred_iou"])
+
+    rng = np.random.default_rng(0)
+    n_params = sum(
+        x.size for x in jax.tree.leaves(params) if hasattr(x, "size")
+    )
+    print(f"params: {n_params/1e6:.1f}M  backend: {jax.default_backend()}",
+          file=sys.stderr)
+
+    best = 0.0
+    best_batch = 0
+    results = {}
+    for batch in (1, 2, 4, 8):
+        images = jnp.asarray(
+            rng.integers(0, 255, (batch, 1024, 1024, 3), dtype=np.uint8)
+        )
+        try:
+            masks, ious = forward(params, state, images)
+            masks.block_until_ready()
+        except Exception as e:  # OOM etc.
+            print(f"batch {batch}: failed ({type(e).__name__})", file=sys.stderr)
+            break
+        # Warmup + timing
+        iters = 30 if batch <= 2 else 20
+        for _ in range(3):
+            masks, ious = forward(params, state, images)
+        masks.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            masks, ious = forward(params, state, images)
+        masks.block_until_ready()
+        ious.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        img_s = batch / dt
+        results[batch] = img_s
+        print(f"batch {batch}: {dt*1000:.2f} ms/step, {img_s:.1f} img/s",
+              file=sys.stderr)
+        if img_s > best:
+            best, best_batch = img_s, batch
+
+    print(
+        f"best: {best:.1f} img/s at batch {best_batch}", file=sys.stderr
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip @1024px bg-removal (bf16)",
+                "value": round(best, 2),
+                "unit": "img/s",
+                "vs_baseline": round(best / A100_PYTORCH_BASELINE_IMG_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

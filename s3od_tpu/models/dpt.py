@@ -76,6 +76,10 @@ def _fusion_block(
         if use_bn:
             new_s["rcu1"] = rs
         x = x + r
+    elif use_bn:
+        # Single-input fusion (refinenet4): rcu1 is never applied
+        # (`src/s3od/model.py:383-390`) — its BN state passes through.
+        new_s["rcu1"] = s["rcu1"]
     x, rs = _residual_conv_unit(p["rcu2"], s and s.get("rcu2"), x, use_bn, training, axis_name)
     if use_bn:
         new_s["rcu2"] = rs

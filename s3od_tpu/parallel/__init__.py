@@ -1,0 +1,15 @@
+from s3od_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "param_shardings",
+    "batch_sharding",
+    "shard_params",
+    "shard_batch",
+]

@@ -2,12 +2,22 @@ import os
 
 # Tests run on CPU with a virtual 8-device mesh so sharding paths are
 # exercised without TPU hardware (bench.py / real inference use the TPU).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize initializes the TPU backend at interpreter startup,
+# so env vars alone are too late — switch via jax.config + clear_backends.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+if jax.config.read("jax_platforms") != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    import jax.extend.backend as _jeb
+
+    _jeb.clear_backends()
 
 import sys
 from pathlib import Path
