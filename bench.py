@@ -58,32 +58,36 @@ def main():
     print(f"params: {n_params/1e6:.1f}M  backend: {jax.default_backend()}",
           file=sys.stderr)
 
+    # Timing protocol: dispatch can be fully asynchronous (and through remote
+    # relays block_until_ready may not synchronize with device execution), so
+    # we rely on in-order stream execution: enqueue N forwards, read back a
+    # scalar of the LAST result (which syncs everything before it), and take
+    # the slope between two iteration counts to cancel fixed overheads.
+    reduce = jax.jit(lambda m, i: jnp.sum(i) + jnp.sum(m[:, :, ::64, ::64]))
+
+    def run(images, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            masks, ious = forward(params, state, images)
+        _ = float(reduce(masks, ious))
+        return time.perf_counter() - t0
+
     best = 0.0
     best_batch = 0
-    results = {}
     for batch in (1, 2, 4, 8):
         images = jnp.asarray(
             rng.integers(0, 255, (batch, 1024, 1024, 3), dtype=np.uint8)
         )
         try:
-            masks, ious = forward(params, state, images)
-            masks.block_until_ready()
+            run(images, 1)  # compile + warm
         except Exception as e:  # OOM etc.
             print(f"batch {batch}: failed ({type(e).__name__})", file=sys.stderr)
             break
-        # Warmup + timing
-        iters = 30 if batch <= 2 else 20
-        for _ in range(3):
-            masks, ious = forward(params, state, images)
-        masks.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            masks, ious = forward(params, state, images)
-        masks.block_until_ready()
-        ious.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+        n1, n2 = 2, 12
+        t1 = min(run(images, n1) for _ in range(2))
+        t2 = min(run(images, n2) for _ in range(2))
+        dt = (t2 - t1) / (n2 - n1)
         img_s = batch / dt
-        results[batch] = img_s
         print(f"batch {batch}: {dt*1000:.2f} ms/step, {img_s:.1f} img/s",
               file=sys.stderr)
         if img_s > best:

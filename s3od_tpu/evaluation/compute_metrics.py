@@ -1,0 +1,187 @@
+"""Offline evaluation CLI over SOD benchmark datasets.
+
+Reference: `model_training/compute_metrics.py` — iterate `{input_dir}/{DS}/
+images/*`, predict, score soft masks against `masks/` GT; optional "oracle"
+best-of-N metrics. Dataset registry matches `compute_metrics.py:198-208`.
+
+Usage:
+    python -m s3od_tpu.evaluation.compute_metrics \
+        --input_dir /data/Test_Dataset --model_path ckpt.npz \
+        --img_size 840 --datasets sod [--compute_best_metrics] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from glob import glob
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+DIS_DATASETS = ["DIS-TE1", "DIS-TE2", "DIS-TE3", "DIS-TE4"]
+SOD_DATASETS = ["DUTS-TE", "DUT-OMRON", "HRSOD-TE", "UHRSD-TE", "DAVIS-S"]
+
+
+def get_datasets(datasets: str) -> List[str]:
+    if datasets == "all":
+        return DIS_DATASETS + SOD_DATASETS
+    if datasets == "dis":
+        return DIS_DATASETS
+    if datasets == "sod":
+        return SOD_DATASETS
+    return [d.strip() for d in datasets.split(",")]
+
+
+def find_gt_mask_path(image_path: str) -> Optional[str]:
+    for ext in (".png", ".jpg", ".jpeg"):
+        p = image_path.replace("/images/", "/masks/")
+        p = str(Path(p).with_suffix(ext))
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _load_image(path: str) -> Optional[np.ndarray]:
+    try:
+        import cv2
+
+        img = cv2.imread(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except Exception:
+        from PIL import Image
+
+        return np.array(Image.open(path).convert("RGB"))
+
+
+def _load_gt(path: str) -> np.ndarray:
+    try:
+        import cv2
+
+        return (cv2.imread(path, cv2.IMREAD_GRAYSCALE) > 128).astype(np.float64)
+    except Exception:
+        from PIL import Image
+
+        return (np.array(Image.open(path).convert("L")) > 128).astype(np.float64)
+
+
+def process_dataset(
+    data_dir: str,
+    predictor,
+    compute_best_metrics: bool = False,
+    batch: int = 4,
+    progress: bool = True,
+) -> Dict:
+    from s3od_tpu.evaluation.metrics import MetricAccumulator
+
+    images = sorted(glob(f"{data_dir}/images/*"))
+    acc = MetricAccumulator()
+    best_acc = MetricAccumulator() if compute_best_metrics else None
+
+    it = range(0, len(images), batch)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(it, desc=f"eval {Path(data_dir).name}")
+        except ImportError:
+            pass
+
+    for b0 in it:
+        chunk = images[b0 : b0 + batch]
+        loaded = [( p, _load_image(p)) for p in chunk]
+        loaded = [(p, im) for p, im in loaded if im is not None]
+        results = predictor.predict_batch([im for _, im in loaded])
+        for (img_path, _), result in zip(loaded, results):
+            gt_path = find_gt_mask_path(img_path)
+            if gt_path is None:
+                print(f"Warning: GT mask not found for {img_path}")
+                continue
+            gt = _load_gt(gt_path)
+            acc.step(result.soft_mask, gt)
+            if compute_best_metrics:
+                if result.has_multiple_masks:
+                    gtb = gt > 0.5
+                    best_iou, best_mask = -1.0, None
+                    for m in result.all_masks:
+                        mb = m > 0.5
+                        union = np.logical_or(mb, gtb).sum()
+                        iou = (
+                            np.logical_and(mb, gtb).sum() / union
+                            if union > 0
+                            else 1.0
+                        )
+                        if iou > best_iou:
+                            best_iou, best_mask = iou, m
+                    best_acc.step(best_mask, gt)
+                else:
+                    best_acc.step(result.soft_mask, gt)
+
+    if compute_best_metrics:
+        return {
+            "pred_metrics": acc.compute(),
+            "best_metrics": best_acc.compute(),
+        }
+    return acc.compute()
+
+
+def evaluate_datasets(
+    *,
+    model_path: Optional[str] = None,
+    model_params: Optional[tuple] = None,
+    input_dir: str,
+    datasets: List[str],
+    image_size: int = 840,
+    batch: int = 4,
+    compute_best_metrics: bool = False,
+) -> Dict[str, Dict[str, float]]:
+    """Programmatic API (used by the training eval callback)."""
+    from s3od_tpu.evaluation.predictor import SODPredictor
+
+    if model_params is not None:
+        params, state, cfg = model_params
+        predictor = SODPredictor.from_params(params, state, cfg,
+                                             image_size=image_size)
+    else:
+        predictor = SODPredictor(model_path, image_size=image_size)
+    out = {}
+    for ds in datasets:
+        ds_dir = f"{input_dir}/{ds}"
+        if not os.path.isdir(ds_dir):
+            print(f"skipping missing dataset dir {ds_dir}")
+            continue
+        out[ds] = process_dataset(
+            ds_dir, predictor, compute_best_metrics, batch=batch
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input_dir", required=True)
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--img_size", type=int, default=840)
+    ap.add_argument("--datasets", default="all")
+    ap.add_argument("--compute_best_metrics", action="store_true")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--output_json", default=None)
+    args = ap.parse_args()
+
+    results = evaluate_datasets(
+        model_path=args.model_path,
+        input_dir=args.input_dir,
+        datasets=get_datasets(args.datasets),
+        image_size=args.img_size,
+        batch=args.batch,
+        compute_best_metrics=args.compute_best_metrics,
+    )
+    for ds, metrics in results.items():
+        print(f"Dataset: {ds}, Metrics: {metrics}")
+    if args.output_json:
+        Path(args.output_json).write_text(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

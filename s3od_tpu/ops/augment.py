@@ -1,0 +1,258 @@
+"""On-device batched augmentation pipeline.
+
+The reference augments per-sample on CPU dataloader workers with
+albumentations (`model_training/transforms.py:12-224`). TPU-native redesign:
+the host does decode + geometric letterboxing only; every photometric /
+noise / blur augmentation here is a *batched, jitted* transform that runs on
+device fused into the training step's input processing — zero host augment
+cost, one uint8 host->device transfer.
+
+Each op takes (rng-derived) per-sample parameters so samples in a batch get
+independent augmentations. Masks ride along for the geometric ops.
+Probabilities and ranges mirror the reference's `regular` and `synthetic`
+modes; exotic CPU-bound ops (CLAHE, JPEG artifacts, weather) are
+approximated or skipped — augmentation is stochastic regularization, not a
+parity surface.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_sample(key, batch, n=1):
+    """Split a key into (B, n) per-sample subkeys."""
+    return jax.random.split(key, batch * n).reshape(batch, n, 2)
+
+
+def _u(key, batch, lo, hi):
+    return jax.random.uniform(key, (batch,), minval=lo, maxval=hi)
+
+
+def _gate(key, batch, p):
+    return jax.random.uniform(key, (batch,)) < p
+
+
+def _apply_gated(x, y, gate):
+    """Select per-sample between augmented y and original x."""
+    g = gate.reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.where(g, y, x)
+
+
+# ----------------------------------------------------------------------------
+# Geometric (image + mask)
+# ----------------------------------------------------------------------------
+
+
+def random_flips(key, images, masks, p_h=0.5, p_v=0.2, p_rot90=0.2):
+    """Batched horizontal/vertical flips + rot90 (square canvas)."""
+    kh, kv, kr, kr2 = jax.random.split(key, 4)
+    b = images.shape[0]
+
+    gh = _gate(kh, b, p_h)
+    images = _apply_gated(images, images[:, :, ::-1], gh)
+    masks = _apply_gated(masks, masks[:, :, ::-1], gh)
+
+    gv = _gate(kv, b, p_v)
+    images = _apply_gated(images, images[:, ::-1], gv)
+    masks = _apply_gated(masks, masks[:, ::-1], gv)
+
+    gr = _gate(kr, b, p_rot90)
+    k = jax.random.randint(kr2, (b,), 1, 4)
+    rot_i = jnp.stack(
+        [images, jnp.rot90(images, 1, (1, 2)), jnp.rot90(images, 2, (1, 2)),
+         jnp.rot90(images, 3, (1, 2))], 1
+    )
+    rot_m = jnp.stack(
+        [masks, jnp.rot90(masks, 1, (1, 2)), jnp.rot90(masks, 2, (1, 2)),
+         jnp.rot90(masks, 3, (1, 2))], 1
+    )
+    sel_i = jnp.take_along_axis(
+        rot_i, k[:, None, None, None, None], axis=1
+    )[:, 0]
+    sel_m = jnp.take_along_axis(rot_m, k[:, None, None, None], axis=1)[:, 0]
+    images = _apply_gated(images, sel_i, gr)
+    masks = _apply_gated(masks, sel_m, gr)
+    return images, masks
+
+
+# ----------------------------------------------------------------------------
+# Photometric (image only); images float32 in [0, 1]
+# ----------------------------------------------------------------------------
+
+
+def _rgb_to_gray(x):
+    return (
+        0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+    )
+
+
+def color_jitter(key, x, brightness=0.5, contrast=0.5, saturation=0.2, hue=0.2):
+    """Batched brightness/contrast/saturation/hue jitter (torchvision-style
+    multiplicative factors; hue as channel rotation approximation)."""
+    b = x.shape[0]
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    fb = _u(kb, b, 1 - brightness, 1 + brightness).reshape(b, 1, 1, 1)
+    fc = _u(kc, b, 1 - contrast, 1 + contrast).reshape(b, 1, 1, 1)
+    fs = _u(ks, b, 1 - saturation, 1 + saturation).reshape(b, 1, 1, 1)
+    fh = _u(kh, b, -hue, hue).reshape(b, 1, 1, 1)
+
+    x = x * fb
+    mean = jnp.mean(_rgb_to_gray(x), axis=(1, 2), keepdims=True)
+    x = (x - mean) * fc + mean
+    gray = _rgb_to_gray(x)
+    x = (x - gray) * fs + gray
+    # Hue rotation in YIQ-ish space (cheap approximation of HSV hue shift).
+    theta = fh * jnp.pi
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    y = _rgb_to_gray(x)
+    i = 0.596 * x[..., 0:1] - 0.274 * x[..., 1:2] - 0.322 * x[..., 2:3]
+    q = 0.211 * x[..., 0:1] - 0.523 * x[..., 1:2] + 0.312 * x[..., 2:3]
+    i2 = i * cos_t - q * sin_t
+    q2 = i * sin_t + q * cos_t
+    r = y + 0.956 * i2 + 0.621 * q2
+    g = y - 0.272 * i2 - 0.647 * q2
+    bl = y - 1.106 * i2 + 1.703 * q2
+    x = jnp.concatenate([r, g, bl], axis=-1)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def gauss_noise(key, x, std_range=(0.2, 0.44)):
+    b = x.shape[0]
+    ks, kn = jax.random.split(key)
+    # Reference GaussNoise std_range is on a [0,1] scale /~2.55 heuristic of
+    # albumentations' 255-scale legacy; use a matching visible-noise range.
+    std = _u(ks, b, std_range[0], std_range[1]).reshape(b, 1, 1, 1) * 0.1
+    return jnp.clip(x + std * jax.random.normal(kn, x.shape), 0.0, 1.0)
+
+
+def multiplicative_noise(key, x, mult=(0.9, 1.1)):
+    f = jax.random.uniform(
+        key, (x.shape[0], 1, 1, 1), minval=mult[0], maxval=mult[1]
+    )
+    return jnp.clip(x * f, 0.0, 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _gauss_kernels(max_radius: int = 3):
+    """Stack of normalized 1D Gaussian kernels for radii 1..max_radius."""
+    import numpy as np
+
+    size = 2 * max_radius + 1
+    kernels = []
+    for sigma in np.linspace(0.5, 2.0, 4):
+        xs = np.arange(size) - max_radius
+        k = np.exp(-(xs**2) / (2 * sigma**2))
+        kernels.append(k / k.sum())
+    return jnp.asarray(np.stack(kernels), dtype=jnp.float32)  # (4, size)
+
+
+def gaussian_blur(key, x, max_radius: int = 3):
+    """Separable blur with a per-sample random sigma (4 discrete levels)."""
+    b = x.shape[0]
+    kernels = _gauss_kernels(max_radius)  # (L, S)
+    lvl = jax.random.randint(key, (b,), 0, kernels.shape[0])
+    k1d = kernels[lvl]  # (B, S)
+    size = kernels.shape[1]
+    pad = size // 2
+
+    # Depthwise separable conv via vmapped 1D convs.
+    def blur_one(img, k):
+        kh = k.reshape(size, 1, 1, 1)
+        kw = k.reshape(1, size, 1, 1)
+        y = jax.lax.conv_general_dilated(
+            img[None], jnp.tile(kh, (1, 1, 1, 3)),
+            window_strides=(1, 1), padding=((pad, pad), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=3,
+        )
+        y = jax.lax.conv_general_dilated(
+            y, jnp.tile(kw, (1, 1, 1, 3)),
+            window_strides=(1, 1), padding=((0, 0), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=3,
+        )
+        return y[0]
+
+    return jax.vmap(blur_one)(x, k1d)
+
+
+def to_gray(key, x):
+    g = jnp.broadcast_to(_rgb_to_gray(x), x.shape)
+    return g
+
+
+def channel_shuffle(key, x):
+    perm = jax.random.permutation(key, 3)
+    return x[..., perm]
+
+
+def downscale_upscale(key, x, scale_range=(0.4, 0.7)):
+    """Quality degradation: downscale then upscale (fixed x2 for jit)."""
+    h, w = x.shape[1], x.shape[2]
+    small = jax.image.resize(x, (x.shape[0], h // 2, w // 2, 3), "linear")
+    return jax.image.resize(small, x.shape, "nearest")
+
+
+# ----------------------------------------------------------------------------
+# Composed pipelines
+# ----------------------------------------------------------------------------
+
+
+def augment_batch(
+    key: jax.Array,
+    images_u8: jax.Array,
+    masks: jax.Array,
+    mode: str = "regular",
+) -> Tuple[jax.Array, jax.Array]:
+    """Full batched augmentation. images uint8 (B,S,S,3), masks float (B,S,S).
+
+    Returns (images float32 [0,1], masks). Modes: test | regular | synthetic.
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    if mode == "test":
+        return x, masks
+
+    keys = jax.random.split(key, 12)
+    b = x.shape[0]
+
+    images_u8f, masks = random_flips(keys[0], x, masks)
+    x = images_u8f
+
+    # Color block (OneOf colorjitter/sharpen p=0.5 in regular).
+    g = _gate(keys[1], b, 0.5 if mode == "regular" else 0.7)
+    x = _apply_gated(x, color_jitter(keys[2], x), g)
+
+    # Noise block.
+    g = _gate(keys[3], b, 0.3 if mode == "regular" else 0.6)
+    pick = jax.random.randint(keys[4], (b,), 0, 2)
+    noised = jnp.where(
+        (pick == 0).reshape(b, 1, 1, 1),
+        gauss_noise(keys[5], x),
+        multiplicative_noise(keys[6], x),
+    )
+    x = _apply_gated(x, noised, g)
+
+    if mode == "synthetic":
+        # Quality degradation.
+        g = _gate(keys[7], b, 0.3)
+        x = _apply_gated(x, downscale_upscale(keys[8], x), g)
+        # Blur block.
+        g = _gate(keys[9], b, 0.5)
+        x = _apply_gated(x, gaussian_blur(keys[10], x), g)
+        # Rare colorspace swap.
+        g = _gate(keys[11], b, 0.05)
+        x = _apply_gated(x, to_gray(keys[11], x), g)
+
+    return x, masks
+
+
+def normalize_imagenet(x: jax.Array) -> jax.Array:
+    """[0,1] float -> ImageNet-normalized."""
+    mean = jnp.asarray([0.485, 0.456, 0.406], x.dtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], x.dtype)
+    return (x - mean) / std

@@ -146,17 +146,31 @@ def _bwd(scale, block_q, block_k, res, g):
 _flash_attention_bhnd.defvjp(_fwd, _bwd)
 
 
+def _pick_blocks(n: int, d: int):
+    """Adaptive block sizes. For the 1024-canvas ViT (N=4101 -> padded 4608)
+    a single K/V block fits VMEM (s-matrix 512x4608 fp32 ~ 9.4MB), turning the
+    online softmax into one pass — measured 33 vs 19 TFLOP/s over 512/512
+    streaming on v5e. Longer sequences (2048px -> 16K tokens) stream."""
+    block_q = 512
+    n_pad = -(-n // block_q) * block_q
+    if block_q * n_pad * 4 <= 10 * 1024 * 1024:
+        return block_q, n_pad
+    return block_q, 2048 if n_pad % 2048 == 0 else 512
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     *,
     scale: float,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 0,
+    block_k: int = 0,
 ) -> jax.Array:
     """Flash attention over (B, N, H, D) tensors; returns (B, N, H, D)."""
     b, n, h, d = q.shape
+    if block_q == 0 or block_k == 0:
+        block_q, block_k = _pick_blocks(n, d)
 
     def to_bhnd(t):
         return t.transpose(0, 2, 1, 3).reshape(b * h, n, d)

@@ -1,0 +1,324 @@
+"""Training entrypoint.
+
+CLI-compatible with the reference's Hydra UX (`model_training/train.py:72-142`):
+
+    python -m s3od_tpu.training.train dataset=duts model=dinob backend=v5e_8 \
+        optimizer.lr=2e-5 data_dir=/data
+
+Replaces Lightning with an explicit loop: one jitted train step (device-mesh
+sharded, grad-accumulated, on-device augmentation), a jitted eval step,
+TensorBoard logging, top-k checkpointing by val dice, early stopping on
+val_iou_loss_full, and an end-of-fit evaluation callback over the test
+datasets (`train.py:24-55`).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger("s3od_tpu.train")
+
+
+def micro_dice_iou(sums: Dict[str, float]) -> Dict[str, float]:
+    tp, fp, fn = sums.get("tp", 0.0), sums.get("fp", 0.0), sums.get("fn", 0.0)
+    iou = tp / max(tp + fp + fn, 1.0)
+    dice = 2 * tp / max(2 * tp + fp + fn, 1.0)
+    return {"iou": iou, "dice": dice}
+
+
+def get_experiment_name(cfg) -> str:
+    """Reference naming: model_dataset_loss_timestamp (`train.py:58-69`)."""
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    return (
+        f"{cfg.experiment_name}_{cfg.model.get('_name', 'model')}"
+        f"_{cfg.dataset.get('_name', 'data')}_{cfg.loss.get('_name', 'loss')}"
+        f"_{stamp}"
+    )
+
+
+def build_model(cfg, rng_key):
+    import jax
+
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.segmentation import init_segmentation_params
+
+    mcfg = segmentation_config(
+        cfg.model.encoder_name,
+        num_outputs=cfg.model.num_outputs,
+        features=cfg.model.features,
+        use_bn=cfg.model.use_bn,
+        use_clstoken=cfg.model.use_clstoken,
+    )
+    if cfg.get("init_checkpoint"):
+        path = str(cfg.init_checkpoint)
+        if path.endswith(".npz"):
+            from s3od_tpu.convert import load_native
+
+            params, bn_state = load_native(path)
+        else:
+            from s3od_tpu.convert import load_torch_checkpoint
+
+            params, bn_state, _ = load_torch_checkpoint(path, mcfg)
+        logger.info("initialized weights from %s", path)
+    else:
+        params, bn_state = init_segmentation_params(rng_key, mcfg)
+        logger.warning(
+            "no init_checkpoint: random init (the reference pulls pretrained "
+            "DINOv3 encoder weights from HF; provide init_checkpoint for that)"
+        )
+    return mcfg, params, bn_state
+
+
+def train(argv: Optional[list] = None) -> Dict[str, float]:
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.ops.augment import augment_batch, normalize_imagenet
+    from s3od_tpu.parallel import make_mesh, shard_batch, shard_params
+    from s3od_tpu.training.checkpoint import CheckpointManager, EarlyStopping
+    from s3od_tpu.training.config import load_config
+    from s3od_tpu.training.data import PrefetchLoader, build_dataset
+    from s3od_tpu.training.loss import LOSS_PRESETS, LossModule
+    from s3od_tpu.training.optim import make_optimizer
+    from s3od_tpu.training.train_step import (
+        TrainState,
+        make_eval_step,
+        make_train_step,
+    )
+
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    seed = int(cfg.backend.seed)
+    np.random.seed(seed)
+
+    exp_name = get_experiment_name(cfg)
+    save_dir = Path(cfg.base_dir) / "checkpoints" / exp_name
+    log_dir = Path(cfg.base_dir) / "logs" / exp_name
+
+    # --- data -----------------------------------------------------------
+    data_dir = Path(cfg.data_dir)
+    paths = [str(data_dir / p) for p in cfg.dataset.paths]
+    image_size = int(cfg.dataset.image_size)
+    accum = int(cfg.backend.accumulate_grad_batches)
+    n_devices_want = int(cfg.backend.devices)
+
+    mesh = make_mesh(
+        dp=None, fsdp=int(cfg.backend.fsdp),
+        devices=jax.devices()[:n_devices_want] if n_devices_want <= len(jax.devices()) else None,
+    )
+    n_dev = mesh.devices.size
+    global_batch = int(cfg.dataset.train_batch_size) * n_dev * accum
+
+    train_ds = build_dataset(paths, image_size, "train",
+                             float(cfg.dataset.val_split), seed,
+                             cfg.get("debug_subset_fraction"))
+    val_ds = build_dataset(paths, image_size, "val",
+                           float(cfg.dataset.val_split), seed)
+    rrc_p = 0.5 if cfg.dataset.transform_mode != "test" else 0.0
+    train_loader = PrefetchLoader(
+        train_ds, global_batch, shuffle=True, drop_last=True, seed=seed,
+        num_threads=int(cfg.backend.num_threads), random_resized_crop_p=rrc_p,
+    )
+    val_batch = int(cfg.dataset.val_batch_size) * n_dev
+    val_loader = PrefetchLoader(
+        val_ds, val_batch, shuffle=False, drop_last=True, seed=seed,
+        num_threads=int(cfg.backend.num_threads),
+    )
+    steps_per_epoch = max(1, len(train_loader))
+    logger.info(
+        "devices=%d global_batch=%d steps/epoch=%d train=%d val=%d",
+        n_dev, global_batch, steps_per_epoch, len(train_ds), len(val_ds),
+    )
+
+    # --- model / optimizer ---------------------------------------------
+    mcfg, params, bn_state = build_model(cfg, jax.random.key(seed))
+    optimizer = make_optimizer(
+        float(cfg.optimizer.lr),
+        head_lr_mult=float(cfg.optimizer.head_lr_mult),
+        weight_decay=float(cfg.optimizer.weight_decay),
+        steps_per_epoch=steps_per_epoch,
+        max_epochs=int(cfg.backend.max_epochs),
+        hold_epochs=int(cfg.scheduler.hold_epochs),
+        eta_min=float(cfg.scheduler.eta_min),
+    )
+    state = TrainState.create(params, bn_state, optimizer)
+    state = TrainState(
+        params=shard_params(state.params, mesh),
+        bn_state=state.bn_state,
+        opt_state=state.opt_state,
+        step=state.step,
+    )
+
+    compute_dtype = (
+        jnp.bfloat16 if cfg.backend.precision == "bf16" else jnp.float32
+    )
+    mode = cfg.dataset.transform_mode
+    loss_module = LossModule(LOSS_PRESETS[cfg.loss.preset])
+
+    def train_pre(rng, batch):
+        x, m = augment_batch(rng, batch["images"], batch["masks"], mode)
+        return {**batch, "images": normalize_imagenet(x), "masks": m}
+
+    def eval_pre(rng, batch):
+        x = batch["images"].astype(jnp.float32) / 255.0
+        return {**batch, "images": normalize_imagenet(x)}
+
+    train_step = make_train_step(
+        mcfg, loss_module, optimizer, accum_steps=accum,
+        compute_dtype=compute_dtype, preprocess_fn=train_pre,
+    )
+    eval_step = make_eval_step(
+        mcfg, loss_module, compute_dtype=compute_dtype, preprocess_fn=eval_pre,
+    )
+
+    # --- bookkeeping ----------------------------------------------------
+    ckpt = CheckpointManager(
+        str(save_dir),
+        top_k=int(cfg.train_stage.checkpoint_top_k),
+        monitor=cfg.train_stage.checkpoint_monitor,
+        mode=cfg.train_stage.checkpoint_mode,
+    )
+    es_cfg = cfg.train_stage.early_stopping
+    early = EarlyStopping(
+        es_cfg.monitor, int(es_cfg.patience), es_cfg.mode,
+        float(es_cfg.min_delta),
+    )
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(str(log_dir))
+    except Exception:  # pragma: no cover
+        logger.warning("tensorboard unavailable; scalar logging to stdout only")
+
+    start_epoch = 0
+    if cfg.get("checkpoint_path"):
+        state = ckpt_restore_external(ckpt, state, cfg.checkpoint_path,
+                                      bool(cfg.get("weights_only")))
+
+    rng = jax.random.key(seed + 1)
+    max_epochs = int(cfg.backend.max_epochs)
+    final_metrics: Dict[str, float] = {}
+
+    for epoch in range(start_epoch, max_epochs):
+        t0 = time.time()
+        sums: Dict[str, float] = {}
+        n_steps = 0
+        for batch in train_loader.epoch(epoch):
+            rng, step_rng = jax.random.split(rng)
+            state, out = train_step(
+                state, shard_batch(batch, mesh),
+                jnp.asarray(float(epoch)), step_rng,
+            )
+            n_steps += 1
+            if n_steps % 50 == 0 or n_steps == steps_per_epoch:
+                host = {k: float(v) for k, v in out.items()}
+                for k, v in host.items():
+                    sums[k] = sums.get(k, 0.0) + v
+        train_metrics = {
+            f"train_{k}": v / max(1, n_steps // 50)
+            for k, v in sums.items() if k not in ("tp", "fp", "fn")
+        }
+        train_metrics.update(
+            {f"train_{k}": v for k, v in micro_dice_iou(sums).items()}
+        )
+
+        # validation
+        vsums: Dict[str, float] = {}
+        n_val = 0
+        for batch in val_loader.epoch(0):
+            out = eval_step(state.params, state.bn_state,
+                            shard_batch(batch, mesh), jnp.asarray(float(epoch)))
+            host = {k: float(v) for k, v in out.items()}
+            for k, v in host.items():
+                vsums[k] = vsums.get(k, 0.0) + v
+            n_val += 1
+        val_metrics = {
+            f"val_{k}": v / max(n_val, 1)
+            for k, v in vsums.items() if k not in ("tp", "fp", "fn")
+        }
+        val_metrics.update(
+            {f"val_{k}": v for k, v in micro_dice_iou(vsums).items()}
+        )
+
+        metrics = {**train_metrics, **val_metrics}
+        final_metrics = metrics
+        if writer:
+            for k, v in metrics.items():
+                writer.add_scalar(k, v, epoch)
+        logger.info(
+            "epoch %d (%.1fs): loss=%.4f val_loss=%.4f val_iou=%.4f val_dice=%.4f",
+            epoch, time.time() - t0,
+            metrics.get("train_loss", float("nan")),
+            metrics.get("val_loss", float("nan")),
+            metrics.get("val_iou", float("nan")),
+            metrics.get("val_dice", float("nan")),
+        )
+
+        ckpt.save(state, epoch=epoch, metrics=metrics)
+        if early.update(metrics):
+            logger.info("early stopping at epoch %d", epoch)
+            break
+
+    # end-of-fit evaluation callback (`train.py:24-55`)
+    if cfg.get("evaluation", {}).get("enabled"):
+        try:
+            from s3od_tpu.evaluation.compute_metrics import evaluate_datasets
+
+            results = evaluate_datasets(
+                model_params=(state.params, state.bn_state, mcfg),
+                input_dir=str(cfg.evaluation.input_dir),
+                datasets=list(cfg.dataset.test_datasets),
+                image_size=int(cfg.evaluation.get("image_size", 1024)),
+            )
+            for ds_name, ms in results.items():
+                for k, v in ms.items():
+                    if writer:
+                        writer.add_scalar(f"evaluation/{ds_name}/{k}", v)
+        except Exception as e:  # pragma: no cover
+            logger.warning("final evaluation failed: %s", e)
+
+    if writer:
+        writer.close()
+    ckpt.export_inference(state, str(save_dir / "s3od_final.npz"))
+    return final_metrics
+
+
+def ckpt_restore_external(ckpt, state, path: str, weights_only: bool):
+    """Resume from an explicit checkpoint directory path."""
+    import jax
+
+    from s3od_tpu.training.train_step import TrainState
+
+    restored = ckpt.ckptr.restore(
+        Path(path).resolve(),
+        target=jax.device_get(
+            {
+                "params": state.params,
+                "bn_state": state.bn_state,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            }
+        ),
+    )
+    if weights_only:
+        return TrainState(
+            params=restored["params"], bn_state=restored["bn_state"],
+            opt_state=state.opt_state, step=state.step,
+        )
+    return TrainState(
+        params=restored["params"], bn_state=restored["bn_state"],
+        opt_state=restored["opt_state"], step=restored["step"],
+    )
+
+
+if __name__ == "__main__":
+    train()

@@ -62,12 +62,17 @@ def make_train_step(
     accum_steps: int = 1,
     compute_dtype=jnp.float32,
     rope_rescale: bool = True,
+    preprocess_fn=None,
 ):
     """Returns train_step(state, batch, epoch, rng) -> (state, metrics).
 
     `batch` arrays have leading dim (accum_steps * micro_batch); the step
     reshapes to (accum_steps, micro, ...) and scans, averaging gradients —
     the reference's Lightning grad-accum (`config/backend/*.yaml`).
+
+    `preprocess_fn(rng, batch) -> batch` runs INSIDE the jit graph before the
+    microbatch split — this is where the batched on-device augmentation
+    pipeline (s3od_tpu/ops/augment.py) plugs in.
     """
 
     def loss_fn(params, bn_state, micro_batch, epoch, rng):
@@ -91,6 +96,10 @@ def make_train_step(
 
     @jax.jit
     def train_step(state: TrainState, batch, epoch, rng):
+        if preprocess_fn is not None:
+            rng, rng_pre = jax.random.split(rng)
+            batch = preprocess_fn(rng_pre, batch)
+
         def micro(b):
             return jax.tree.map(
                 lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:]),
@@ -156,9 +165,12 @@ def make_eval_step(
     loss_module: LossModule,
     *,
     compute_dtype=jnp.float32,
+    preprocess_fn=None,
 ):
     @jax.jit
     def eval_step(params, bn_state, batch, epoch):
+        if preprocess_fn is not None:
+            batch = preprocess_fn(None, batch)
         outputs, _ = segmentation_forward(
             params, bn_state, batch["images"], cfg,
             training=False, compute_dtype=compute_dtype,

@@ -13,7 +13,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-if jax.config.read("jax_platforms") != "cpu":
+if jax.config.jax_platforms != "cpu":
     jax.config.update("jax_platforms", "cpu")
     import jax.extend.backend as _jeb
 
