@@ -81,6 +81,24 @@ def _bn(sd: Dict, prefix: str) -> Tuple[dict, dict]:
     return p, s
 
 
+def _fused_qkv(sd: Dict, prefix: str) -> dict:
+    """Concatenate q/k/v projections into one (C, 3C) kernel (single matmul
+    on the MXU instead of three). Missing biases (key_bias=False) become
+    zeros — numerically identical."""
+    kernels, biases = [], []
+    dim = _t(sd[prefix + ".q_proj.weight"]).shape[1]
+    for name in ("q_proj", "k_proj", "v_proj"):
+        kernels.append(_t(sd[f"{prefix}.{name}.weight"]).T)
+        bkey = f"{prefix}.{name}.bias"
+        biases.append(
+            _t(sd[bkey]) if bkey in sd else np.zeros((dim,), np.float32)
+        )
+    return {
+        "kernel": jnp.asarray(np.concatenate(kernels, axis=1)),
+        "bias": jnp.asarray(np.concatenate(biases)),
+    }
+
+
 def convert_encoder(sd: Dict, cfg) -> dict:
     """`encoder.*` keys of the state_dict -> encoder param pytree."""
     pe_w = _t(sd["encoder.embeddings.patch_embeddings.weight"])  # (hid,3,p,p)
@@ -99,9 +117,7 @@ def convert_encoder(sd: Dict, cfg) -> dict:
                     "bias": jnp.asarray(_t(sd[f"{pre}.norm1.bias"])),
                 },
                 "attention": {
-                    "q_proj": _linear(sd, f"{pre}.attention.q_proj"),
-                    "k_proj": _linear(sd, f"{pre}.attention.k_proj"),
-                    "v_proj": _linear(sd, f"{pre}.attention.v_proj"),
+                    "qkv": _fused_qkv(sd, f"{pre}.attention"),
                     "o_proj": _linear(sd, f"{pre}.attention.o_proj"),
                 },
                 "ls1": jnp.asarray(_t(sd[f"{pre}.layer_scale1.lambda1"])),
@@ -209,6 +225,140 @@ def load_torch_checkpoint(path: str, cfg: Optional[SegmentationConfig] = None):
     if any(k.startswith("model.") for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
     return convert_state_dict(sd, cfg)
+
+
+# ----------------------------------------------------------------------------
+# Inverse conversion: JAX pytree -> torch state_dict (reference-loadable)
+# ----------------------------------------------------------------------------
+
+
+def export_torch_state_dict(params: dict, state: Optional[dict]) -> Dict:
+    """Produce a state_dict in the exact layout `src/s3od/predictor.py:65-76`
+    consumes, so checkpoints trained here load into the PyTorch reference.
+
+    Returns numpy arrays; wrap with torch.from_numpy + {'state_dict': ...}
+    for a reference-format .pt file.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(key, arr):
+        sd[key] = np.asarray(arr, dtype=np.float32)
+
+    enc = params["encoder"]
+    put("encoder.embeddings.cls_token", enc["cls_token"])
+    put("encoder.embeddings.mask_token", np.zeros_like(np.asarray(enc["cls_token"])))
+    put("encoder.embeddings.register_tokens", enc["register_tokens"])
+    pe = np.asarray(enc["patch_embed"]["kernel"])  # (p*p*3, hid)
+    hid = pe.shape[1]
+    patch = int(round((pe.shape[0] / 3) ** 0.5))
+    put(
+        "encoder.embeddings.patch_embeddings.weight",
+        pe.reshape(patch, patch, 3, hid).transpose(3, 2, 0, 1),
+    )
+    put("encoder.embeddings.patch_embeddings.bias", enc["patch_embed"]["bias"])
+
+    for i, blk in enumerate(enc["blocks"]):
+        pre = f"encoder.layer.{i}"
+        put(f"{pre}.norm1.weight", blk["norm1"]["weight"])
+        put(f"{pre}.norm1.bias", blk["norm1"]["bias"])
+        qkv_k = np.asarray(blk["attention"]["qkv"]["kernel"])  # (C, 3C)
+        qkv_b = np.asarray(blk["attention"]["qkv"]["bias"])
+        c = qkv_k.shape[0]
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            put(f"{pre}.attention.{name}.weight", qkv_k[:, j * c : (j + 1) * c].T)
+            if name != "k_proj":  # key_bias=False in the reference config
+                put(f"{pre}.attention.{name}.bias", qkv_b[j * c : (j + 1) * c])
+        put(f"{pre}.attention.o_proj.weight",
+            np.asarray(blk["attention"]["o_proj"]["kernel"]).T)
+        put(f"{pre}.attention.o_proj.bias", blk["attention"]["o_proj"]["bias"])
+        put(f"{pre}.layer_scale1.lambda1", blk["ls1"])
+        put(f"{pre}.norm2.weight", blk["norm2"]["weight"])
+        put(f"{pre}.norm2.bias", blk["norm2"]["bias"])
+        put(f"{pre}.mlp.up_proj.weight", np.asarray(blk["mlp"]["up_proj"]["kernel"]).T)
+        put(f"{pre}.mlp.up_proj.bias", blk["mlp"]["up_proj"]["bias"])
+        put(f"{pre}.mlp.down_proj.weight",
+            np.asarray(blk["mlp"]["down_proj"]["kernel"]).T)
+        put(f"{pre}.mlp.down_proj.bias", blk["mlp"]["down_proj"]["bias"])
+        put(f"{pre}.layer_scale2.lambda1", blk["ls2"])
+
+    head = params["head"]
+
+    def conv_out(key, p):
+        put(key + ".weight", np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+        if "bias" in p:
+            put(key + ".bias", p["bias"])
+
+    for i in range(4):
+        conv_out(f"seg_head.projects.{i}", head["projects"][i])
+    for i, factor in ((0, 4), (1, 2)):
+        k = np.asarray(head["resize"][i]["kernel"])  # (in, f*f*out)
+        cin = k.shape[0]
+        cout = k.shape[1] // (factor * factor)
+        put(
+            f"seg_head.resize_layers.{i}.weight",
+            k.reshape(cin, factor, factor, cout).transpose(0, 3, 1, 2),
+        )
+        put(f"seg_head.resize_layers.{i}.bias", head["resize"][i]["bias"])
+    conv_out("seg_head.resize_layers.3", head["resize"][3])
+    for i in range(4):
+        put(
+            f"seg_head.scratch.layer{i + 1}_rn.weight",
+            np.asarray(head["scratch"][f"layer{i + 1}_rn"]["kernel"]).transpose(3, 2, 0, 1),
+        )
+
+    def bn_out(key, p, s):
+        put(key + ".weight", p["weight"])
+        put(key + ".bias", p["bias"])
+        put(key + ".running_mean", s["mean"])
+        put(key + ".running_var", s["var"])
+        sd[key + ".num_batches_tracked"] = np.zeros((), dtype=np.int64)
+
+    for i in (1, 2, 3, 4):
+        rn = head[f"refinenet{i}"]
+        rs = state[f"refinenet{i}"] if state else None
+        base = f"seg_head.scratch.refinenet{i}"
+        conv_out(base + ".out_conv", rn["out_conv"])
+        for rcu_name, ref_name in (("rcu1", "resConfUnit1"), ("rcu2", "resConfUnit2")):
+            conv_out(f"{base}.{ref_name}.conv1", rn[rcu_name]["conv1"])
+            conv_out(f"{base}.{ref_name}.conv2", rn[rcu_name]["conv2"])
+            if "bn1" in rn[rcu_name]:
+                bn_out(f"{base}.{ref_name}.bn1", rn[rcu_name]["bn1"],
+                       rs[rcu_name]["bn1"])
+                bn_out(f"{base}.{ref_name}.bn2", rn[rcu_name]["bn2"],
+                       rs[rcu_name]["bn2"])
+
+    mh = head["mask_head"]
+    conv_out("seg_head.mask_head.output_conv1", mh["output_conv1"])
+    # up_deconv stored as flipped-HWIO of the equivalent forward conv; invert:
+    k = np.asarray(mh["up_deconv"]["kernel"])  # (4,4,in,out)
+    put(
+        "seg_head.mask_head.upsample_2x.0.weight",
+        k[::-1, ::-1].transpose(2, 3, 0, 1),
+    )
+    put("seg_head.mask_head.upsample_2x.0.bias", mh["up_deconv"]["bias"])
+    conv_out("seg_head.mask_head.upsample_2x.2", mh["up_conv"])
+    for i, h in enumerate(mh["heads"]):
+        conv_out(f"seg_head.mask_head.mask_heads.{i}.0", h["conv0"])
+        conv_out(f"seg_head.mask_head.mask_heads.{i}.2", h["conv1"])
+
+    put("seg_head.classifier_head.2.weight",
+        np.asarray(head["classifier"]["fc1"]["kernel"]).T)
+    put("seg_head.classifier_head.2.bias", head["classifier"]["fc1"]["bias"])
+    put("seg_head.classifier_head.4.weight",
+        np.asarray(head["classifier"]["fc2"]["kernel"]).T)
+    put("seg_head.classifier_head.4.bias", head["classifier"]["fc2"]["bias"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, params: dict, state: Optional[dict]) -> None:
+    """Write a reference-format `{'state_dict': ...}` .pt file."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(params, state).items()
+    }
+    torch.save({"state_dict": sd}, path)
 
 
 # ----------------------------------------------------------------------------

@@ -1,0 +1,121 @@
+"""Efficiency benchmark: FPS, parameter count, FLOPs, memory.
+
+Reference protocol (`model_training/test_efficiency.py`): 100 synchronized
+forwards at 840x840, thop FLOPs, torch.profiler memory. TPU-native
+equivalents:
+
+- FPS via in-order-stream slope timing (dispatch is async; only a readback
+  synchronizes — see bench.py) over the jitted forward;
+- FLOPs/bytes from XLA's own cost analysis of the compiled executable
+  (`compiled.cost_analysis()`), replacing thop;
+- memory from `compiled.memory_analysis()` (argument/output/temp/peak bytes).
+
+Writes `benchmark_results.txt` like the reference.
+
+Usage:
+    python -m s3od_tpu.evaluation.test_efficiency --checkpoint ckpt.npz \
+        [--input_size 840] [--iterations 40] [--batch 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def count_parameters(params) -> int:
+    import jax
+
+    return sum(x.size for x in jax.tree.leaves(params) if hasattr(x, "size"))
+
+
+def run_benchmark(
+    checkpoint: str = None,
+    input_size: int = 840,
+    iterations: int = 40,
+    batch: int = 1,
+    output_file: str = "benchmark_results.txt",
+    _predictor=None,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.evaluation.predictor import SODPredictor
+
+    predictor = _predictor or SODPredictor(checkpoint, image_size=input_size)
+    fwd = predictor._forward()
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (batch, input_size, input_size, 3), dtype=np.uint8)
+    )
+
+    # Compile + analyses.
+    lowered = jax.jit(
+        lambda p, s, x: fwd(p, s, x)
+    ).lower(predictor.params, predictor.state, images)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    mem = compiled.memory_analysis()
+
+    flops = float(cost.get("flops", 0.0))
+    reduce = jax.jit(lambda o: jnp.sum(o[0][:, :, ::64, ::64]) + jnp.sum(o[1]))
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fwd(predictor.params, predictor.state, images)
+        _ = float(reduce(out))
+        return time.perf_counter() - t0
+
+    run(2)  # warm
+    t1 = min(run(2) for _ in range(2))
+    t2 = min(run(2 + iterations) for _ in range(2))
+    dt = (t2 - t1) / iterations
+    fps = batch / dt
+
+    n_params = count_parameters(predictor.params)
+    lines = [
+        "S3OD-TPU efficiency benchmark",
+        f"backend: {jax.default_backend()}",
+        f"input: {batch}x{input_size}x{input_size}x3 uint8",
+        f"params: {n_params/1e6:.2f} M",
+        f"latency: {dt*1000:.2f} ms/step",
+        f"throughput: {fps:.2f} img/s",
+        f"XLA flops/step: {flops/1e9:.1f} GFLOP"
+        + (f" -> {flops/dt/1e12:.1f} TFLOP/s achieved" if dt > 0 else ""),
+    ]
+    if mem is not None:
+        for attr in (
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "temp_size_in_bytes",
+            "generated_code_size_in_bytes",
+        ):
+            v = getattr(mem, attr, None)
+            if v is not None:
+                lines.append(f"{attr}: {v/1e6:.1f} MB")
+    report = "\n".join(lines)
+    print(report)
+    if output_file:
+        Path(output_file).write_text(report + "\n")
+    return {"fps": fps, "latency_ms": dt * 1000, "params": n_params,
+            "flops": flops}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--input_size", type=int, default=840)
+    ap.add_argument("--iterations", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--output_file", default="benchmark_results.txt")
+    args = ap.parse_args()
+    run_benchmark(**vars(args))
+
+
+if __name__ == "__main__":
+    main()

