@@ -1,0 +1,128 @@
+"""Prompt generation for the synthetic-image factory.
+
+Reference (`data_generation/prompt_generator.py`): an LLM (GPT-4o via
+langchain) produces N diverse photorealistic prompts per ImageNet class; a
+`PromptEnhancer` stochastically appends color/clarity/lighting/complexity
+terms. Here the LLM call is a pluggable backend (an OpenAI-compatible
+endpoint if configured, else a deterministic template fallback so the
+factory runs offline), and the enhancer is a faithful functional equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+
+class PromptEnhancer:
+    """Stochastic prompt suffixes (`prompt_generator.py:9-55` behavior)."""
+
+    COLOR = [
+        "vibrant colors", "muted tones", "rich color palette",
+        "natural colors", "warm tones", "cool tones",
+    ]
+    CLARITY = [
+        "sharp focus", "high detail", "crisp details", "finely detailed",
+    ]
+    LIGHTING = [
+        "soft lighting", "dramatic lighting", "natural light",
+        "golden hour light", "studio lighting", "diffuse light",
+    ]
+    COMPLEXITY = [
+        "complex background", "cluttered scene", "minimal background",
+        "busy environment", "textured backdrop",
+    ]
+
+    def __init__(self, p_each: float = 0.5, seed: Optional[int] = None):
+        self.p_each = p_each
+        self.rng = random.Random(seed)
+
+    def enhance(self, prompt: str) -> str:
+        extras = [
+            self.rng.choice(group)
+            for group in (self.COLOR, self.CLARITY, self.LIGHTING, self.COMPLEXITY)
+            if self.rng.random() < self.p_each
+        ]
+        return ", ".join([prompt] + extras) if extras else prompt
+
+
+_TEMPLATES = [
+    "a photograph of a {cls} in its natural environment",
+    "a professional photo of a {cls}, centered composition",
+    "a candid shot of a {cls} outdoors",
+    "a close-up photograph of a {cls}",
+    "a {cls} photographed against a contrasting background",
+    "an environmental portrait of a {cls} in context",
+    "a high-resolution photo of a {cls} from a low angle",
+    "a {cls} in an urban setting, street photography",
+    "a {cls} photographed from above",
+    "a detailed studio photograph of a single {cls}",
+]
+
+
+def template_prompts(class_name: str, n: int, seed: int = 0) -> List[str]:
+    """Deterministic offline fallback: template rotation + enhancement."""
+    enh = PromptEnhancer(seed=seed)
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        base = _TEMPLATES[i % len(_TEMPLATES)].format(cls=class_name)
+        out.append(enh.enhance(base))
+        rng.shuffle(_TEMPLATES)
+    return out
+
+
+class ImagePromptGenerator:
+    """LLM-backed prompt generation with offline fallback.
+
+    `llm_fn(system, user) -> str` is any chat-completion callable (e.g. an
+    OpenAI-compatible client); absent, templates are used.
+    """
+
+    SYSTEM = (
+        "You generate diverse, photorealistic image-description prompts for "
+        "a text-to-image model. Each prompt depicts exactly one salient "
+        "instance of the requested object class in a varied, realistic "
+        "scene. Reply with one prompt per line, no numbering."
+    )
+
+    def __init__(self, llm_fn: Optional[Callable[[str, str], str]] = None,
+                 seed: int = 0):
+        self.llm_fn = llm_fn
+        self.seed = seed
+        self.enhancer = PromptEnhancer(seed=seed)
+
+    def generate(self, class_name: str, n: int) -> List[str]:
+        if self.llm_fn is None:
+            return template_prompts(class_name, n, self.seed)
+        user = (
+            f"Generate {n} diverse photorealistic prompts featuring a "
+            f"'{class_name}' as the single salient object."
+        )
+        text = self.llm_fn(self.SYSTEM, user)
+        prompts = [ln.strip() for ln in text.splitlines() if ln.strip()][:n]
+        while len(prompts) < n:
+            prompts.append(template_prompts(class_name, 1, self.seed + len(prompts))[0])
+        return [self.enhancer.enhance(p) for p in prompts]
+
+
+class FilePromptProvider:
+    """Prompt cache on disk: one JSON per class, generated on demand
+    (reference `generate_train_images.py:105-172`)."""
+
+    def __init__(self, prompts_dir: str, generator: ImagePromptGenerator):
+        self.dir = Path(prompts_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.generator = generator
+
+    def get_prompts(self, class_name: str, n: int) -> List[str]:
+        path = self.dir / f"{class_name.replace(' ', '_')}.json"
+        if path.exists():
+            prompts = json.loads(path.read_text())
+            if len(prompts) >= n:
+                return prompts[:n]
+        prompts = self.generator.generate(class_name, n)
+        path.write_text(json.dumps(prompts, indent=1))
+        return prompts

@@ -1,0 +1,156 @@
+"""Synthetic-data factory tests: orchestration, sharding/resume, filtering."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from s3od_tpu.datagen.filtering import (
+    DatasetLoader,
+    FilterPipeline,
+    FilterResult,
+    BaseFilter,
+    Sample,
+    calculate_iou,
+)
+from s3od_tpu.datagen.generate_train_images import (
+    GenerationConfig,
+    ImageMaskGenerationPipeline,
+    ProceduralBackend,
+)
+from s3od_tpu.datagen.prompts import FilePromptProvider, ImagePromptGenerator
+from s3od_tpu.datagen.resizer import FluxResizer, select_bucket
+from s3od_tpu.datagen.sharding import detect_task, filter_unprocessed, task_slice
+
+
+def test_resolution_buckets():
+    r = FluxResizer()
+    assert select_bucket(1000, 1000) == (1024, 1024)
+    assert select_bucket(480, 640)[0] < select_bucket(480, 640)[1]  # landscape
+    for h, w in r.get_compatible_resolutions():
+        assert r.verify_compatibility(h, w)
+        assert abs(h * w - 1024 * 1024) < 1024 * 1024 * 0.2
+    img = np.zeros((500, 1000, 3), np.uint8)
+    out, (th, tw) = r.resize_image(img)
+    assert out.shape[:2] == (th, tw) and th % 32 == 0 and tw % 32 == 0
+    mask = np.zeros((500, 1000), np.uint8)
+    assert r.resize_mask(mask, (th, tw)).shape == (th, tw)
+
+
+def test_task_sharding():
+    items = list(range(103))
+    parts = [task_slice(items, i, 4) for i in range(4)]
+    assert sum(len(p) for p in parts) == 103
+    assert [x for p in parts for x in p] == items
+    assert detect_task(3, 8) == (3, 8)
+
+
+def test_prompt_provider_caches(tmp_path):
+    prov = FilePromptProvider(str(tmp_path), ImagePromptGenerator(seed=1))
+    p1 = prov.get_prompts("red fox", 5)
+    assert len(p1) == 5 and all("fox" in p for p in p1)
+    p2 = prov.get_prompts("red fox", 3)
+    assert p2 == p1[:3]  # cached
+
+
+@pytest.fixture
+def generated_dataset(tmp_path):
+    cfg = GenerationConfig(
+        output_dir=str(tmp_path / "raw"),
+        prompts_dir=str(tmp_path / "prompts"),
+        backend="procedural",
+        prompts_per_class=2,
+        seed=3,
+    )
+    pipe = ImageMaskGenerationPipeline(cfg, ProceduralBackend())
+    n = pipe.process_class("tabby cat", 2)
+    assert n == 2
+    # resume: second run skips existing
+    assert pipe.process_class("tabby cat", 2) == 2
+    # reorganize into class layout
+    root = tmp_path / "byclass" / "tabby_cat"
+    (root / "images").mkdir(parents=True)
+    (root / "masks").mkdir(parents=True)
+    import shutil
+
+    for img in (tmp_path / "raw" / "images").glob("*.jpg"):
+        sid = img.stem.rsplit("_", 1)[1]
+        shutil.copy(img, root / "images" / f"{sid}.jpg")
+        shutil.copy(
+            tmp_path / "raw" / "masks" / f"{img.stem}.png",
+            root / "masks" / f"{sid}.png",
+        )
+    return tmp_path / "byclass"
+
+
+class _AlwaysPass(BaseFilter):
+    def __init__(self):
+        super().__init__("always_pass")
+
+    def filter(self, sample):
+        return FilterResult(passed=True, score=1.0)
+
+
+class _RejectFirst(BaseFilter):
+    def __init__(self):
+        super().__init__("reject_first")
+        self.n = 0
+
+    def filter(self, sample):
+        self.n += 1
+        return FilterResult(passed=self.n > 1, reason="first sample rejected")
+
+
+def test_filter_pipeline(generated_dataset, tmp_path):
+    samples = DatasetLoader(str(generated_dataset)).load_samples()
+    assert len(samples) == 2
+    pipe = FilterPipeline(
+        [_RejectFirst(), _AlwaysPass()],
+        output_dir=str(tmp_path / "filtered"),
+        failed_dir=str(tmp_path / "failed"),
+    )
+    stats = pipe.run(samples, progress=False)
+    assert stats["kept"] == 1
+    assert stats["rejected"] == {"reject_first": 1}
+    assert len(list((tmp_path / "filtered" / "images").glob("*.jpg"))) == 1
+    assert len(list((tmp_path / "failed" / "reject_first").glob("*.jpg"))) == 1
+    # resume: already-done samples are skipped up front
+    remaining = filter_unprocessed(samples, pipe.is_done)
+    assert len(remaining) == 1
+
+
+def test_heuristic_vlm_filters(generated_dataset):
+    from s3od_tpu.datagen.filters.vlm import (
+        GemmaMaskArtifactFilter,
+        GemmaSemanticFilter,
+    )
+
+    samples = DatasetLoader(str(generated_dataset)).load_samples()
+    sem = GemmaSemanticFilter(model_id="/nonexistent")
+    art = GemmaMaskArtifactFilter(model_id="/nonexistent")
+    for s in samples:
+        r1, r2 = sem.filter(s), art.filter(s)
+        assert r1.metadata.get("heuristic") and r2.metadata.get("heuristic")
+        assert r1.passed and r2.passed  # clean single blobs
+
+
+def test_calculate_iou():
+    a = np.zeros((10, 10)); a[:5] = 1
+    b = np.zeros((10, 10)); b[:5] = 1
+    assert calculate_iou(a, b) == 1.0
+    assert calculate_iou(a, 1 - b) == 0.0
+    assert calculate_iou(np.zeros((4, 4)), np.zeros((4, 4))) == 1.0
+
+
+def test_mine_samples_allocation():
+    from s3od_tpu.evaluation.mine_samples import (
+        analyze_stability,
+        calculate_new_samples,
+    )
+
+    scores = {"easy": 0.98, "mid": 0.9, "hard": 0.5}
+    alloc = calculate_new_samples(scores, min_samples=10, max_samples=50)
+    assert alloc["hard"] > alloc["mid"] > alloc["easy"]
+    unstable, stable = analyze_stability(scores, n_categories=1)
+    assert unstable == ["hard"] and stable == ["easy"]

@@ -37,16 +37,16 @@ def test_resize_matches_torch(in_hw, out_hw, antialias):
     np.testing.assert_allclose(got_jax, ref, atol=5e-4)
 
 
-def test_upsample2x_fast_path_matches_matrix():
-    from s3od_tpu.ops.resize import _apply_axis_matrix, _linear_resize_matrix
+def test_upsample2x_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)).astype(np.float32))
-    fast = resize_bilinear(x, (32, 48))
-    wh = _linear_resize_matrix(16, 32, False)
-    ww = _linear_resize_matrix(24, 48, False)
-    slow = _apply_axis_matrix(_apply_axis_matrix(x, wh, 1), ww, 2)
-    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-6)
+    x = rng.standard_normal((2, 8, 16, 24)).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=(32, 48), mode="bilinear",
+                        align_corners=False).numpy()
+    got = resize_bilinear(jnp.asarray(x), (32, 48), h_axis=2, w_axis=3)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
 
 
 @pytest.mark.parametrize("k,s,p", [(4, 4, 0), (2, 2, 0), (4, 2, 1)])
