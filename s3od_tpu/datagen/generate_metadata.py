@@ -1,0 +1,129 @@
+"""VLM caption + tag generation for datasets.
+
+Covers two reference components with one CLI:
+- `model_training/generate_test_metadata.py` (captions/tags for the test
+  datasets, required by teacher evaluation), and
+- `data_generation/flux_finetune/{generate_captions,tag_data}.py` (the same
+  over the real training sets DIS-TR/HRSOD-TR/UHRSD-TR/DUTS-TR for LoRA
+  finetuning).
+
+VLM: lazy transformers image-text-to-text model (Gemma-3-4b-it by default),
+pluggable; an offline fallback emits generic captions/stem-derived tags so
+downstream tooling stays runnable.
+
+Output format matches the reference consumer (`compute_metrics.py:16-39`):
+`{out}/{dataset}/captions.json` = [{"image_path", "caption"}, ...] and
+`tags.json` = [{"image_path", "tag"}, ...].
+
+Usage:
+    python -m s3od_tpu.datagen.generate_metadata --input_dir DIR \
+        --output_dir META --datasets DUTS-TE,DUT-OMRON [--model_id ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from s3od_tpu.datagen.filters.vlm import _LazyVLM
+from s3od_tpu.datagen.sharding import detect_task, task_slice
+
+CAPTION_PROMPT = (
+    "Describe this image in one or two sentences, focusing on the main "
+    "salient object and the scene."
+)
+TAG_PROMPT = (
+    "Name the main salient object in this image in one or two words. "
+    "Reply with just the class name."
+)
+
+
+def _fallback_tag(stem: str) -> str:
+    """Derive a tag from the filename when no VLM is available (dataset
+    files are often named after their class)."""
+    words = [w for w in stem.replace("-", "_").split("_") if w.isalpha()]
+    return " ".join(words[:2]) if words else "object"
+
+
+class MetadataGenerator:
+    def __init__(self, model_id: str = "google/gemma-3-4b-it"):
+        self.vlm = _LazyVLM(model_id)
+
+    def caption(self, image: np.ndarray, stem: str) -> str:
+        ans = self.vlm.ask(image, CAPTION_PROMPT)
+        if ans:
+            return ans.strip()
+        return "a photo with a single salient foreground object"
+
+    def tag(self, image: np.ndarray, stem: str) -> str:
+        ans = self.vlm.ask(image, TAG_PROMPT)
+        if ans:
+            return ans.strip().splitlines()[0][:40]
+        return _fallback_tag(stem)
+
+
+def process_dataset(
+    dataset_dir: Path, out_dir: Path, gen: MetadataGenerator,
+    task_id: int = 0, num_tasks: int = 1,
+) -> int:
+    from PIL import Image
+
+    images = sorted((dataset_dir / "images").glob("*"))
+    images = task_slice(images, task_id, num_tasks)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    captions, tags = [], []
+    cap_file = out_dir / "captions.json"
+    tag_file = out_dir / "tags.json"
+    if cap_file.exists():  # resume: merge existing entries
+        captions = json.loads(cap_file.read_text())
+    if tag_file.exists():
+        tags = json.loads(tag_file.read_text())
+    done = {c["image_path"] for c in captions}
+
+    for img_path in images:
+        key = str(img_path)
+        if key in done:
+            continue
+        try:
+            image = np.array(Image.open(img_path).convert("RGB"))
+        except Exception as e:  # noqa: BLE001
+            logging.error("failed to read %s: %s", img_path, e)
+            continue
+        captions.append({"image_path": key,
+                         "caption": gen.caption(image, img_path.stem)})
+        tags.append({"image_path": key, "tag": gen.tag(image, img_path.stem)})
+
+    cap_file.write_text(json.dumps(captions, indent=1))
+    tag_file.write_text(json.dumps(tags, indent=1))
+    return len(captions)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input_dir", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--datasets", required=True,
+                    help="comma-separated dataset dir names")
+    ap.add_argument("--model_id", default="google/gemma-3-4b-it")
+    ap.add_argument("--task_id", type=int, default=None)
+    ap.add_argument("--num_tasks", type=int, default=None)
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    gen = MetadataGenerator(args.model_id)
+    tid, ntasks = detect_task(args.task_id, args.num_tasks)
+    for ds in args.datasets.split(","):
+        n = process_dataset(
+            Path(args.input_dir) / ds, Path(args.output_dir) / ds, gen,
+            tid, ntasks,
+        )
+        print(f"{ds}: {n} entries")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""MMDiT + diffusion pipeline tests (tiny config, no weights/network)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.datagen.diffusion import (
+    ConceptAttentionPipeline,
+    FlowMatchSchedule,
+    calculate_shift,
+    make_img_ids,
+    pack_latents,
+    shifted_sigmas,
+    unpack_latents,
+)
+from s3od_tpu.models.mmdit import (
+    concept_heatmaps,
+    init_mmdit_params,
+    minmax_normalize,
+    mmdit_forward,
+    tiny_mmdit_config,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_mmdit_config()
+    params = init_mmdit_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _inputs(cfg, ph=4, pw=6, b=1, n_txt=8, n_c=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        latents=jnp.asarray(rng.standard_normal((b, ph * pw, cfg.in_channels)), jnp.float32),
+        txt=jnp.asarray(rng.standard_normal((b, n_txt, cfg.text_dim)), jnp.float32),
+        pooled=jnp.asarray(rng.standard_normal((b, cfg.pooled_dim)), jnp.float32),
+        timestep=jnp.full((b,), 0.7),
+        img_ids=jnp.asarray(make_img_ids(ph, pw)),
+        txt_ids=jnp.zeros((n_txt, 3), jnp.float32),
+        guidance=jnp.full((b,), 3.5),
+        concepts=jnp.asarray(rng.standard_normal((b, n_c, cfg.text_dim)), jnp.float32),
+    )
+
+
+def test_concept_stream_is_observational(tiny):
+    """Concepts must not perturb the generation (reference invariant: the
+    concept stream only reads image K/V, never writes back)."""
+    cfg, params = tiny
+    kw = _inputs(cfg)
+    with_c = mmdit_forward(params, cfg, compute_dtype=jnp.float32,
+                           attn_impl="xla", **kw)
+    kw2 = dict(kw, concepts=None)
+    without = mmdit_forward(params, cfg, compute_dtype=jnp.float32,
+                            attn_impl="xla", **kw2)
+    np.testing.assert_allclose(
+        np.asarray(with_c["output"]), np.asarray(without["output"]), atol=1e-5
+    )
+    assert with_c["concept_out"] is not None and without["concept_out"] is None
+
+
+def test_feature_taps(tiny):
+    cfg, params = tiny
+    out = mmdit_forward(params, cfg, compute_dtype=jnp.float32,
+                        attn_impl="xla", **_inputs(cfg))
+    assert len(out["features"]) == len(cfg.feature_taps)
+    for f in out["features"]:
+        assert f.shape == (1, 24, cfg.hidden_size)
+
+
+def test_concept_heatmaps_normalized(tiny):
+    cfg, params = tiny
+    out = mmdit_forward(params, cfg, compute_dtype=jnp.float32,
+                        attn_impl="xla", **_inputs(cfg))
+    maps = minmax_normalize(concept_heatmaps(out["concept_out"], out["image_out"], (4, 6)))
+    m = np.asarray(maps)
+    assert m.shape == (1, 2, 4, 6)
+    assert m.min() >= 0.0 and m.max() <= 1.0 + 1e-6
+
+
+def test_latent_packing_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 16)), jnp.float32)
+    packed = pack_latents(x)
+    assert packed.shape == (2, 4 * 6, 64)
+    back = unpack_latents(packed, 8, 12)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_scheduler_shift_monotonic():
+    assert calculate_shift(256) == pytest.approx(0.5)
+    assert calculate_shift(4096) == pytest.approx(1.15)
+    s = shifted_sigmas(28, calculate_shift(1024))
+    assert len(s) == 28 and s[0] > s[-1] > 0
+    sched = FlowMatchSchedule(s)
+    x = np.ones((1, 4, 8), np.float32)
+    v = np.ones_like(x)
+    stepped = sched.step(x, v, 0)
+    assert np.all(stepped < x)  # sigma decreasing -> negative increment
+
+
+def test_pipeline_t2i_and_extraction(tiny):
+    cfg, params = tiny
+    rng = np.random.default_rng(0)
+    n_txt = 8
+    embeds = (
+        rng.standard_normal((1, n_txt, cfg.text_dim)).astype(np.float32),
+        rng.standard_normal((1, cfg.pooled_dim)).astype(np.float32),
+    )
+    cemb = rng.standard_normal((1, 2, cfg.text_dim)).astype(np.float32)
+    pipe = ConceptAttentionPipeline(
+        params, cfg, text_encoders=None, num_inference_steps=4,
+        compute_dtype="float32",
+    )
+    # height/width chosen so packed grid is small: 64px -> latent 8 -> packed 4x4
+    out = pipe(
+        "a red fox", height=64, width=64, seed=1,
+        concepts=["fox", "background"],
+        prompt_embeds=embeds, concept_embeds=cemb,
+    )
+    assert out.latents.shape == (1, 8, 8, cfg.in_channels // 4)
+    assert len(out.features) == len(cfg.feature_taps)
+    assert set(out.concept_maps) == {"fox", "background"}
+    assert out.concept_maps["fox"].shape == (4, 4)
+
+    # single-step inversion for feature extraction
+    ext = pipe.extract_features(
+        out.latents, "a red fox", ["fox", "background"], 64, 64,
+        prompt_embeds=embeds, concept_embeds=cemb,
+    )
+    assert len(ext.features) == len(cfg.feature_taps)
+    assert "fox" in ext.concept_maps
