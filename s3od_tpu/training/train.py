@@ -240,6 +240,11 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             host = {k: float(v) for k, v in out.items()}
             for k, v in host.items():
                 vsums[k] = vsums.get(k, 0.0) + v
+            if n_val == 0 and writer and cfg.train_stage.get("enable_image_logging"):
+                _log_val_images(
+                    writer, state, batch, mcfg, compute_dtype, epoch,
+                    int(cfg.train_stage.get("max_images", 8)),
+                )
             n_val += 1
         val_metrics = {
             f"val_{k}": v / max(n_val, 1)
@@ -290,6 +295,33 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         writer.close()
     ckpt.export_inference(state, str(save_dir / "s3od_final.npz"))
     return final_metrics
+
+
+def _log_val_images(writer, state, batch, mcfg, compute_dtype, epoch,
+                    max_images):
+    """Side-by-side panels on the first val batch
+    (reference `lightning_module.py:269-283`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.models.segmentation import segmentation_forward
+    from s3od_tpu.ops.augment import normalize_imagenet
+    from s3od_tpu.training.image_logger import ImageLogger
+
+    images = jnp.asarray(batch["images"][:max_images])
+    x = normalize_imagenet(images.astype(jnp.float32) / 255.0)
+    out, _ = segmentation_forward(
+        state.params, state.bn_state, x.astype(compute_dtype), mcfg,
+        training=False, compute_dtype=compute_dtype,
+    )
+    logger_ = ImageLogger(max_images)
+    logger_.maybe_add(
+        np.asarray(x),
+        np.asarray(jax.nn.sigmoid(out["pred_masks"])),
+        np.asarray(out["pred_iou"]),
+        np.asarray(batch["masks"][:max_images]),
+    )
+    logger_.flush(writer, "val", epoch)
 
 
 def ckpt_restore_external(ckpt, state, path: str, weights_only: bool):
