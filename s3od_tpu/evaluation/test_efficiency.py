@@ -38,6 +38,7 @@ def run_benchmark(
     iterations: int = 40,
     batch: int = 1,
     output_file: str = "benchmark_results.txt",
+    trace_dir: str = None,
     _predictor=None,
 ):
     import jax
@@ -77,6 +78,14 @@ def run_benchmark(
     dt = (t2 - t1) / iterations
     fps = batch / dt
 
+    if trace_dir:
+        # Profiler capture (TPU equivalent of the reference's torch.profiler
+        # pass, `test_efficiency.py:79-101`); inspect with TensorBoard or the
+        # trace.json.gz directly.
+        with jax.profiler.trace(trace_dir):
+            run(3)
+        print(f"profiler trace written to {trace_dir}")
+
     n_params = count_parameters(predictor.params)
     lines = [
         "S3OD-TPU efficiency benchmark",
@@ -113,6 +122,7 @@ def main():
     ap.add_argument("--iterations", type=int, default=40)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--output_file", default="benchmark_results.txt")
+    ap.add_argument("--trace_dir", default=None)
     args = ap.parse_args()
     run_benchmark(**vars(args))
 

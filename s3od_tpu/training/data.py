@@ -31,6 +31,15 @@ import numpy as np
 VALID_EXTENSIONS = {".jpg", ".jpeg", ".png"}
 
 
+def _rss_gb() -> Optional[float]:
+    try:
+        import psutil
+
+        return psutil.Process(os.getpid()).memory_info().rss / 1024**3
+    except ImportError:  # pragma: no cover
+        return None
+
+
 def _resize_longest(img: np.ndarray, size: int, is_mask: bool) -> np.ndarray:
     h, w = img.shape[:2]
     scale = size / max(h, w)
@@ -231,7 +240,12 @@ class PrefetchLoader:
         n_batches = len(self)
         host_rng = random.Random(self.seed * 1000 + epoch)
 
+        load_times: List[float] = []
+
         def load_batch(b):
+            import time as _time
+
+            t0 = _time.perf_counter()
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             imgs, masks = [], []
             for i in idxs:
@@ -240,6 +254,17 @@ class PrefetchLoader:
                     img, mask = _random_resized_crop(img, mask, host_rng)
                 imgs.append(img)
                 masks.append(mask)
+            # Self-profiling (reference `dataset.py:20-31,295-308`): track
+            # load times and log memory periodically.
+            load_times.append(_time.perf_counter() - t0)
+            if len(load_times) % 100 == 0:
+                avg = sum(load_times[-100:]) / min(100, len(load_times))
+                rss = _rss_gb()
+                logging.info(
+                    "loader: %d batches, avg %.3fs/batch%s",
+                    len(load_times), avg,
+                    f", RSS {rss:.2f}GB" if rss else "",
+                )
             return {
                 "images": np.stack(imgs),
                 "masks": np.stack(masks).astype(np.float32),
