@@ -61,7 +61,14 @@ def multi_head_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        impl = "flash" if (_flash_available() and q.shape[1] >= 1024) else "xla"
+        # Flash only for bf16 (its MXU passes are bf16-precision; fp32 exact
+        # mode must keep the HIGHEST-precision XLA path) and long sequences.
+        use_flash = (
+            _flash_available()
+            and q.shape[1] >= 1024
+            and q.dtype == jnp.bfloat16
+        )
+        impl = "flash" if use_flash else "xla"
     if impl == "flash":
         from s3od_tpu.ops.flash_attention import flash_attention
 

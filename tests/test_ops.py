@@ -117,3 +117,24 @@ def test_flash_attention_fallback_matches_xla():
     ref = multi_head_attention(q, k, v, impl="xla")
     auto = multi_head_attention(q, k, v, impl="auto")
     np.testing.assert_allclose(np.asarray(ref), np.asarray(auto), atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU-only kernel")
+def test_flash_attention_gradients_match_xla():
+    """Forward+backward of the Pallas kernels vs exact XLA attention."""
+    from s3od_tpu.ops.attention import _xla_attention
+    from s3od_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    b, n, h, d = 1, 1029, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q: jnp.sum(jnp.sin(fn(q, q, q))), argnums=0
+        )(q)
+
+    gf = loss(lambda q, k, v: flash_attention(q, k, v, scale=d**-0.5))
+    gx = loss(lambda q, k, v: _xla_attention(q, k, v, d**-0.5))
+    rel = float(jnp.abs(gf - gx).max() / (jnp.abs(gx).max() + 1e-9))
+    assert rel < 2e-2
