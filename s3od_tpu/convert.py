@@ -227,6 +227,45 @@ def load_torch_checkpoint(path: str, cfg: Optional[SegmentationConfig] = None):
     return convert_state_dict(sd, cfg)
 
 
+def convert_hf_dinov3_encoder(sd: Dict) -> dict:
+    """HF `facebook/dinov3-*-pretrain-*` state_dict -> encoder param pytree.
+
+    The reference's training model pulls pretrained encoder weights via
+    `AutoModel.from_pretrained('facebook/dinov3-vitb16-pretrain-lvd1689m')`
+    (`synth_sod/.../model_training/model.py:14,25`). HF checkpoints use the
+    same keys as the `encoder.*` subtree but without the prefix."""
+    prefixed = {f"encoder.{k}": v for k, v in sd.items()}
+    return convert_encoder(prefixed, None)
+
+
+def load_hf_dinov3(path_or_id: str) -> dict:
+    """Load pretrained DINOv3 encoder weights from a local HF snapshot dir,
+    a safetensors/bin file, or (network permitting) an HF repo id."""
+    from pathlib import Path as _P
+
+    p = _P(path_or_id)
+    if p.is_dir():
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            if (p / name).exists():
+                p = p / name
+                break
+    if p.exists():
+        if p.suffix == ".safetensors":
+            from safetensors.torch import load_file
+
+            return convert_hf_dinov3_encoder(load_file(str(p)))
+        import torch
+
+        return convert_hf_dinov3_encoder(
+            torch.load(str(p), map_location="cpu", weights_only=True)
+        )
+    # Fall back to transformers download (requires network).
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(path_or_id)
+    return convert_hf_dinov3_encoder(model.state_dict())
+
+
 # ----------------------------------------------------------------------------
 # Inverse conversion: JAX pytree -> torch state_dict (reference-loadable)
 # ----------------------------------------------------------------------------

@@ -206,7 +206,19 @@ class ConceptAttentionPipeline:
         guidance_scale: float = 3.5,
         concept_timesteps: Optional[Sequence[int]] = None,
         compute_dtype: str = "bfloat16",
+        lora: Optional[dict] = None,
+        lora_scale: Optional[float] = None,
     ):
+        if lora is not None:
+            # Fold LoRA adapters into the weights once at load time
+            # (reference loads a LoRA into FLUX, `pipeline.py:58-88`).
+            from s3od_tpu.datagen.lora import LoRAConfig, merge_lora
+
+            rank = lora["dual_blocks"][0][
+                list(lora["dual_blocks"][0])[0]
+            ]["A"].shape[1]
+            lcfg = LoRAConfig(rank=rank, alpha=lora_scale or float(rank))
+            params = merge_lora(params, lora, lcfg)
         self.params = params
         self.cfg = cfg
         self.text_encoders = text_encoders or TextEncoders()

@@ -1,0 +1,121 @@
+"""LoRA finetuning CLI for the MMDiT on captioned real-image data.
+
+Reference (`data_generation/flux_finetune/`): fine-tune FLUX with a LoRA on
+the real SOD training sets using VLM captions so generated images better
+match the real-data distribution.
+
+Requires: converted MMDiT + VAE checkpoints, a captions metadata dir (from
+`generate_metadata`), and a dataset of images. Latents and text embeddings
+are computed on the fly (cacheable); training is rectified-flow matching on
+LoRA parameters only (`s3od_tpu/datagen/lora.py`).
+
+Usage:
+    python -m s3od_tpu.datagen.flux_finetune --config finetune.yaml
+    # config: flux_checkpoint, vae_checkpoint, input_dir, datasets,
+    #         metadata_dir, rank, lr, steps, batch, out_lora
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import random
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+import yaml
+
+logger = logging.getLogger("s3od_tpu.finetune")
+
+
+def collect_samples(input_dir: str, datasets: List[str],
+                    metadata_dir: str) -> List[Dict]:
+    from s3od_tpu.datagen.feature_extraction import load_metadata
+
+    samples = []
+    for ds in datasets:
+        meta = load_metadata(metadata_dir, ds)
+        for img in sorted((Path(input_dir) / ds / "images").glob("*")):
+            m = meta.get(img.stem, {})
+            samples.append({
+                "image": img,
+                "caption": m.get("caption", "a photo of a salient object"),
+            })
+    return samples
+
+
+def run(config_path: str) -> str:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from PIL import Image
+
+    from s3od_tpu.convert import load_native, save_native
+    from s3od_tpu.datagen.diffusion import (
+        TextEncoders, make_img_ids, pack_latents,
+    )
+    from s3od_tpu.datagen.lora import (
+        LoRAConfig, init_lora_params, make_lora_train_step,
+    )
+    from s3od_tpu.datagen.resizer import FluxResizer
+    from s3od_tpu.models.mmdit import MMDiTConfig
+    from s3od_tpu.models.vae import VAE, VAEConfig
+
+    cfg = yaml.safe_load(Path(config_path).read_text())
+    mmdit_cfg = MMDiTConfig()
+    params, _ = load_native(cfg["flux_checkpoint"])
+    tree, _ = load_native(cfg["vae_checkpoint"])
+    vae = VAE(tree["enc"], tree["dec"], VAEConfig())
+    text = TextEncoders()
+    resizer = FluxResizer()
+
+    lcfg = LoRAConfig(rank=int(cfg.get("rank", 16)))
+    lora = init_lora_params(jax.random.key(0), params, lcfg)
+    opt = optax.adamw(float(cfg.get("lr", 1e-4)))
+    opt_state = opt.init(lora)
+    step = make_lora_train_step(mmdit_cfg, lcfg, opt)
+
+    samples = collect_samples(
+        cfg["input_dir"], cfg["datasets"], cfg["metadata_dir"]
+    )
+    logger.info("%d training samples", len(samples))
+    rng = random.Random(cfg.get("seed", 0))
+    steps = int(cfg.get("steps", 1000))
+
+    for it in range(steps):
+        s = rng.choice(samples)
+        image = np.array(Image.open(s["image"]).convert("RGB"))
+        resized, (th, tw) = resizer.resize_image(image)
+        latents = vae.encode(resized)
+        packed = pack_latents(jnp.asarray(latents))
+        t5, pooled = text.encode([s["caption"]])
+        batch = {
+            "latents": packed,
+            "txt": jnp.asarray(t5),
+            "pooled": jnp.asarray(pooled),
+            "img_ids": jnp.asarray(make_img_ids(th // 16, tw // 16)),
+            "txt_ids": jnp.zeros((t5.shape[1], 3), jnp.float32),
+        }
+        lora, opt_state, loss = step(lora, opt_state, params, batch,
+                                     jax.random.key(it))
+        if it % 50 == 0:
+            logger.info("step %d loss %.4f", it, float(loss))
+
+    out = cfg.get("out_lora", "flux_lora.npz")
+    save_native(out, lora, None)
+    logger.info("wrote %s", out)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    run(args.config)
+
+
+if __name__ == "__main__":
+    main()

@@ -161,6 +161,7 @@ def encoder_forward(
     compute_dtype=jnp.float32,
     attn_impl: str = "auto",
     rope_coord_scale: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> List[jax.Array]:
     """Run the encoder, returning patch-token features at each tap.
 
@@ -168,6 +169,9 @@ def encoder_forward(
     block t-1 (t=0 would be the embedding output). Only blocks 0..max(taps)-1
     are executed. Returns a list of (B, N_patches, C) arrays (prefix tokens
     already stripped, mirroring `src/s3od/model.py:80-84`).
+
+    `remat=True` checkpoints each block (recompute in backward) — required
+    for 1024px training to keep activation memory and compile size sane.
     """
     b, H, W, _ = images.shape
     patch = cfg.patch_size
@@ -185,10 +189,16 @@ def encoder_forward(
 
     cos, sin = rope_cos_sin(h, w, cfg.head_dim, cfg.rope_theta, rope_coord_scale)
 
+    import functools
+
+    block_fn = functools.partial(vit_block, cfg=cfg, attn_impl=attn_impl)
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
     taps = {}
     max_tap = max(tap_layers)
     for i in range(max_tap):
-        x = vit_block(params["blocks"][i], x, cos, sin, cfg, attn_impl)
+        x = block_fn(params["blocks"][i], x, cos, sin)
         if (i + 1) in tap_layers:
             taps[i + 1] = x
 

@@ -101,6 +101,7 @@ def dpt_head_forward(
     *,
     training: bool = False,
     axis_name: Optional[str] = None,
+    remat: bool = False,
 ):
     """tap_features: 4 x (B, N, C) patch tokens. Returns (outputs, new_state).
 
@@ -133,19 +134,31 @@ def dpt_head_forward(
     def hw(a):
         return (a.shape[1], a.shape[2])
 
-    path4, s4 = _fusion_block(
+    if remat:
+        import functools
+
+        def fusion_fn(p, s, x, res, out_hw, use_bn_, training_, axis_name_):
+            fn = functools.partial(
+                _fusion_block, out_hw=out_hw, use_bn=use_bn_,
+                training=training_, axis_name=axis_name_,
+            )
+            return jax.checkpoint(fn)(p, s, x, res)
+    else:
+        fusion_fn = _fusion_block
+
+    path4, s4 = fusion_fn(
         params["refinenet4"], state and state.get("refinenet4"), rn[3], None,
         hw(rn[2]), use_bn, training, axis_name,
     )
-    path3, s3 = _fusion_block(
+    path3, s3 = fusion_fn(
         params["refinenet3"], state and state.get("refinenet3"), path4, rn[2],
         hw(rn[1]), use_bn, training, axis_name,
     )
-    path2, s2 = _fusion_block(
+    path2, s2 = fusion_fn(
         params["refinenet2"], state and state.get("refinenet2"), path3, rn[1],
         hw(rn[0]), use_bn, training, axis_name,
     )
-    path1, s1 = _fusion_block(
+    path1, s1 = fusion_fn(
         params["refinenet1"], state and state.get("refinenet1"), path2, rn[0],
         (rn[0].shape[1] * 2, rn[0].shape[2] * 2), use_bn, training, axis_name,
     )

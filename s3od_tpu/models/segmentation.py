@@ -31,11 +31,17 @@ def segmentation_forward(
     attn_impl: str = "auto",
     rope_coord_scale: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    remat: Optional[bool] = None,
 ) -> Tuple[dict, Optional[dict]]:
-    """images: (B, H, W, 3) normalized float. Returns (outputs, new_bn_state)."""
+    """images: (B, H, W, 3) normalized float. Returns (outputs, new_bn_state).
+
+    `remat` defaults to `training` — blocks are checkpointed so the backward
+    pass recomputes activations instead of storing them."""
     h, w = images.shape[1], images.shape[2]
     patch = cfg.encoder.patch_size
     ph, pw = h // patch, w // patch
+    if remat is None:
+        remat = training
 
     taps = encoder_forward(
         params["encoder"],
@@ -45,6 +51,7 @@ def segmentation_forward(
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         rope_coord_scale=rope_coord_scale,
+        remat=remat,
     )
     outputs, new_state = dpt_head_forward(
         params["head"],
@@ -54,6 +61,7 @@ def segmentation_forward(
         cfg,
         training=training,
         axis_name=axis_name,
+        remat=remat,
     )
     # Keep the public contract in fp32 (masks/iou logits).
     outputs["pred_masks"] = outputs["pred_masks"].astype(jnp.float32)

@@ -170,6 +170,71 @@ class MaskFolderDataset:
         raise RuntimeError("unreachable")
 
 
+class FluxFeatureDataset(MaskFolderDataset):
+    """Dataset variant for FLUX-teacher training: images bucket-resized (no
+    letterbox), per-image `.npz` features (layer_0..3 + category/background
+    concept maps) matched by stem with dataset-prefix fallbacks; files
+    without features are dropped (`model_training/dataset.py:147-250`).
+    Batch size is forced to 1 by the trainer (variable bucket shapes)."""
+
+    DATASET_PREFIXES = ("DUTS-TR", "DIS-TR", "HRSOD-TR", "UHRSD-TR")
+
+    def __init__(self, root_dir: str, image_size: int, split: str = "train",
+                 val_split: float = 0.1, seed: int = 42,
+                 flux_features_dir: Optional[str] = None,
+                 feature_layers: Sequence[int] = (0, 1, 2, 3),
+                 debug_subset_fraction: Optional[float] = None):
+        super().__init__(root_dir, image_size, split, val_split, seed,
+                         debug_subset_fraction)
+        from s3od_tpu.datagen.resizer import FluxResizer
+
+        self.resizer = FluxResizer()
+        self.feature_layers = list(feature_layers)
+        self.feature_mapping: Dict[str, Path] = {}
+        if flux_features_dir:
+            feats = Path(flux_features_dir) / "features"
+            available = {p.stem: p for p in feats.glob("*.npz")} if feats.is_dir() else {}
+            for f in self.files:
+                stem = Path(f).stem
+                hit = available.get(stem)
+                if hit is None:
+                    for prefix in self.DATASET_PREFIXES:
+                        hit = available.get(f"{prefix}_{stem}")
+                        if hit is not None:
+                            break
+                if hit is not None:
+                    self.feature_mapping[f] = hit
+            before = len(self.files)
+            self.files = [f for f in self.files if f in self.feature_mapping]
+            logging.info(
+                "FluxFeatureDataset: %d -> %d files with features (%.1f%%)",
+                before, len(self.files),
+                100.0 * len(self.files) / max(before, 1),
+            )
+
+    def load(self, idx: int):
+        from PIL import Image
+
+        f = self.files[idx]
+        img = np.array(Image.open(self.images_dir / f).convert("RGB"))
+        mask = np.array(Image.open(self._mask_path(f)).convert("L"))
+        img_r, (th, tw) = self.resizer.resize_image(img)
+        mask_r = self.resizer.resize_mask(mask, (th, tw))
+        out = {
+            "images": img_r,
+            "masks": mask_r.astype(np.float32) / 255.0,
+        }
+        with np.load(self.feature_mapping[f]) as z:
+            out["transformer_features"] = [
+                z[f"layer_{i}"].astype(np.float32) for i in self.feature_layers
+            ]
+            out["concept_maps"] = {
+                "category": z["category"].astype(np.float32),
+                "background": z["background"].astype(np.float32),
+            }
+        return out
+
+
 class ConcatMaskDataset:
     def __init__(self, datasets: Sequence[MaskFolderDataset]):
         self.datasets = list(datasets)
@@ -190,14 +255,25 @@ def build_dataset(
     val_split: float = 0.1,
     seed: int = 42,
     debug_subset_fraction: Optional[float] = None,
+    flux_features_dir: Optional[str] = None,
 ):
-    parts = [
-        MaskFolderDataset(
-            p, image_size, split, val_split, seed,
-            debug_subset_fraction=debug_subset_fraction,
-        )
-        for p in dataset_paths
-    ]
+    if flux_features_dir:
+        parts = [
+            FluxFeatureDataset(
+                p, image_size, split, val_split, seed,
+                flux_features_dir=flux_features_dir,
+                debug_subset_fraction=debug_subset_fraction,
+            )
+            for p in dataset_paths
+        ]
+    else:
+        parts = [
+            MaskFolderDataset(
+                p, image_size, split, val_split, seed,
+                debug_subset_fraction=debug_subset_fraction,
+            )
+            for p in dataset_paths
+        ]
     return parts[0] if len(parts) == 1 else ConcatMaskDataset(parts)
 
 
@@ -247,13 +323,35 @@ class PrefetchLoader:
 
             t0 = _time.perf_counter()
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            imgs, masks = [], []
-            for i in idxs:
+            first = self.dataset.load(int(idxs[0]))
+            if isinstance(first, dict):
+                # dict-style dataset (FluxFeatureDataset): collate leaves.
+                samples = [first] + [self.dataset.load(int(i)) for i in idxs[1:]]
+                out = {
+                    "images": np.stack([s["images"] for s in samples]),
+                    "masks": np.stack([s["masks"] for s in samples]).astype(np.float32),
+                    "transformer_features": [
+                        np.stack([s["transformer_features"][l] for s in samples])
+                        for l in range(len(first["transformer_features"]))
+                    ],
+                    "concept_maps": {
+                        k: np.stack([s["concept_maps"][k] for s in samples])
+                        for k in first["concept_maps"]
+                    },
+                }
+                load_times.append(_time.perf_counter() - t0)
+                return out
+            imgs, masks = [first[0]], [first[1]]
+            for i in idxs[1:]:
                 img, mask = self.dataset.load(int(i))
-                if self.rrc_p > 0 and host_rng.random() < self.rrc_p:
-                    img, mask = _random_resized_crop(img, mask, host_rng)
                 imgs.append(img)
                 masks.append(mask)
+            if self.rrc_p > 0:
+                for j in range(len(imgs)):
+                    if host_rng.random() < self.rrc_p:
+                        imgs[j], masks[j] = _random_resized_crop(
+                            imgs[j], masks[j], host_rng
+                        )
             # Self-profiling (reference `dataset.py:20-31,295-308`): track
             # load times and log memory periodically.
             load_times.append(_time.perf_counter() - t0)

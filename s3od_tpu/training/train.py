@@ -69,11 +69,49 @@ def build_model(cfg, rng_key):
         logger.info("initialized weights from %s", path)
     else:
         params, bn_state = init_segmentation_params(rng_key, mcfg)
-        logger.warning(
-            "no init_checkpoint: random init (the reference pulls pretrained "
-            "DINOv3 encoder weights from HF; provide init_checkpoint for that)"
-        )
+        if cfg.get("pretrained_encoder"):
+            # Pretrained DINOv3 encoder + fresh head — the reference's
+            # default training init (`model_training/model.py:14,25`).
+            from s3od_tpu.convert import load_hf_dinov3
+
+            params["encoder"] = load_hf_dinov3(str(cfg.pretrained_encoder))
+            logger.info("encoder initialized from %s", cfg.pretrained_encoder)
+        else:
+            logger.warning(
+                "no init_checkpoint/pretrained_encoder: fully random init "
+                "(the reference pulls pretrained DINOv3 encoder weights)"
+            )
     return mcfg, params, bn_state
+
+
+def build_teacher_model(cfg, rng_key):
+    """FluxDPT teacher (`config/train_teacher.yaml` path)."""
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.flux_teacher import (
+        FluxTeacherConfig,
+        init_flux_teacher_params,
+    )
+
+    base = segmentation_config(
+        cfg.model.encoder_name,
+        num_outputs=cfg.model.num_outputs,
+        features=cfg.model.features,
+        use_bn=cfg.model.use_bn,
+        use_clstoken=cfg.model.use_clstoken,
+    )
+    tcfg = FluxTeacherConfig(
+        base=base,
+        flux_dim=int(cfg.model.get("flux_dim", 768)),
+        use_concept_maps=bool(cfg.model.get("use_concept_maps", True)),
+        use_flux_features=True,
+    )
+    params, state = init_flux_teacher_params(rng_key, tcfg)
+    if cfg.get("pretrained_encoder"):
+        from s3od_tpu.convert import load_hf_dinov3
+
+        params["encoder"] = load_hf_dinov3(str(cfg.pretrained_encoder))
+        logger.info("teacher encoder initialized from %s", cfg.pretrained_encoder)
+    return base, params, state, tcfg
 
 
 def train(argv: Optional[list] = None) -> Dict[str, float]:
@@ -93,7 +131,13 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         make_train_step,
     )
 
-    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    args = list(argv if argv is not None else sys.argv[1:])
+    config_name = "train"
+    for a in list(args):
+        if a.startswith("config_name="):
+            config_name = a.split("=", 1)[1]
+            args.remove(a)
+    cfg = load_config(args, config_name=config_name)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
     seed = int(cfg.backend.seed)
@@ -109,25 +153,42 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     image_size = int(cfg.dataset.image_size)
     accum = int(cfg.backend.accumulate_grad_batches)
     n_devices_want = int(cfg.backend.devices)
+    is_teacher = bool(cfg.model.get("use_flux_features"))
+    if is_teacher:
+        n_devices_want = 1  # batch-1 bucket shapes cannot shard over data
 
     mesh = make_mesh(
-        dp=None, fsdp=int(cfg.backend.fsdp),
+        dp=None, fsdp=int(cfg.backend.fsdp) if not is_teacher else 1,
         devices=jax.devices()[:n_devices_want] if n_devices_want <= len(jax.devices()) else None,
     )
     n_dev = mesh.devices.size
-    global_batch = int(cfg.dataset.train_batch_size) * n_dev * accum
+    flux_dir = str(cfg.flux_features_dir) if cfg.get("flux_features_dir") else None
+    if is_teacher:
+        # Teacher training: bucket-shaped samples + npz features force batch
+        # size 1 and no accumulation (`model_training/dataset.py:352-360`);
+        # samples of different resolution buckets cannot be stacked.
+        accum = 1
+        global_batch = 1
+        if n_dev > 1:
+            logger.warning("teacher training runs data batch 1; extra devices idle")
+        if not flux_dir:
+            raise ValueError("teacher training requires flux_features_dir")
+    else:
+        global_batch = int(cfg.dataset.train_batch_size) * n_dev * accum
 
     train_ds = build_dataset(paths, image_size, "train",
                              float(cfg.dataset.val_split), seed,
-                             cfg.get("debug_subset_fraction"))
+                             cfg.get("debug_subset_fraction"),
+                             flux_features_dir=flux_dir)
     val_ds = build_dataset(paths, image_size, "val",
-                           float(cfg.dataset.val_split), seed)
-    rrc_p = 0.5 if cfg.dataset.transform_mode != "test" else 0.0
+                           float(cfg.dataset.val_split), seed,
+                           flux_features_dir=flux_dir)
+    rrc_p = 0.5 if (cfg.dataset.transform_mode != "test" and not is_teacher) else 0.0
     train_loader = PrefetchLoader(
         train_ds, global_batch, shuffle=True, drop_last=True, seed=seed,
         num_threads=int(cfg.backend.num_threads), random_resized_crop_p=rrc_p,
     )
-    val_batch = int(cfg.dataset.val_batch_size) * n_dev
+    val_batch = 1 if is_teacher else int(cfg.dataset.val_batch_size) * n_dev
     val_loader = PrefetchLoader(
         val_ds, val_batch, shuffle=False, drop_last=True, seed=seed,
         num_threads=int(cfg.backend.num_threads),
@@ -139,7 +200,13 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     )
 
     # --- model / optimizer ---------------------------------------------
-    mcfg, params, bn_state = build_model(cfg, jax.random.key(seed))
+    if is_teacher:
+        mcfg, params, bn_state, teacher_cfg = build_teacher_model(
+            cfg, jax.random.key(seed)
+        )
+    else:
+        mcfg, params, bn_state = build_model(cfg, jax.random.key(seed))
+        teacher_cfg = None
     optimizer = make_optimizer(
         float(cfg.optimizer.lr),
         head_lr_mult=float(cfg.optimizer.head_lr_mult),
@@ -164,6 +231,10 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     loss_module = LossModule(LOSS_PRESETS[cfg.loss.preset])
 
     def train_pre(rng, batch):
+        if is_teacher:
+            # Teacher data gets normalization only (`dataset.py:176-178`).
+            x = batch["images"].astype(jnp.float32) / 255.0
+            return {**batch, "images": normalize_imagenet(x)}
         x, m = augment_batch(rng, batch["images"], batch["masks"], mode)
         return {**batch, "images": normalize_imagenet(x), "masks": m}
 
@@ -171,12 +242,30 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         x = batch["images"].astype(jnp.float32) / 255.0
         return {**batch, "images": normalize_imagenet(x)}
 
+    fwd_train = fwd_eval = None
+    if is_teacher:
+        from s3od_tpu.models.flux_teacher import flux_teacher_forward
+
+        def _teacher_fwd(training):
+            def fn(params, bn_state, micro_batch, rope_scale):
+                return flux_teacher_forward(
+                    params, bn_state, micro_batch["images"],
+                    micro_batch["transformer_features"],
+                    micro_batch["concept_maps"], teacher_cfg,
+                    training=training, compute_dtype=compute_dtype,
+                )
+            return fn
+
+        fwd_train, fwd_eval = _teacher_fwd(True), _teacher_fwd(False)
+
     train_step = make_train_step(
         mcfg, loss_module, optimizer, accum_steps=accum,
         compute_dtype=compute_dtype, preprocess_fn=train_pre,
+        forward_fn=fwd_train,
     )
     eval_step = make_eval_step(
         mcfg, loss_module, compute_dtype=compute_dtype, preprocess_fn=eval_pre,
+        forward_fn=fwd_eval,
     )
 
     # --- bookkeeping ----------------------------------------------------
@@ -240,7 +329,8 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             host = {k: float(v) for k, v in out.items()}
             for k, v in host.items():
                 vsums[k] = vsums.get(k, 0.0) + v
-            if n_val == 0 and writer and cfg.train_stage.get("enable_image_logging"):
+            if (n_val == 0 and writer and not is_teacher
+                    and cfg.train_stage.get("enable_image_logging")):
                 _log_val_images(
                     writer, state, batch, mcfg, compute_dtype, epoch,
                     int(cfg.train_stage.get("max_images", 8)),
@@ -259,6 +349,22 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         if writer:
             for k, v in metrics.items():
                 writer.add_scalar(k, v, epoch)
+            # LR monitor (reference `train.py:113`): evaluate the schedule.
+            from s3od_tpu.training.optim import hold_cosine_schedule
+
+            sched = hold_cosine_schedule(
+                float(cfg.optimizer.lr),
+                steps_per_epoch=steps_per_epoch,
+                max_epochs=int(cfg.backend.max_epochs),
+                hold_epochs=int(cfg.scheduler.hold_epochs),
+                eta_min=float(cfg.scheduler.eta_min),
+            )
+            writer.add_scalar("lr/encoder", float(sched(int(state.step))), epoch)
+            writer.add_scalar(
+                "lr/head",
+                float(sched(int(state.step))) * float(cfg.optimizer.head_lr_mult),
+                epoch,
+            )
         logger.info(
             "epoch %d (%.1fs): loss=%.4f val_loss=%.4f val_iou=%.4f val_dice=%.4f",
             epoch, time.time() - t0,
@@ -274,7 +380,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             break
 
     # end-of-fit evaluation callback (`train.py:24-55`)
-    if cfg.get("evaluation", {}).get("enabled"):
+    if not is_teacher and cfg.get("evaluation", {}).get("enabled"):
         try:
             from s3od_tpu.evaluation.compute_metrics import evaluate_datasets
 

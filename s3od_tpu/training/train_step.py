@@ -63,6 +63,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     rope_rescale: bool = True,
     preprocess_fn=None,
+    forward_fn=None,
 ):
     """Returns train_step(state, batch, epoch, rng) -> (state, metrics).
 
@@ -73,28 +74,35 @@ def make_train_step(
     `preprocess_fn(rng, batch) -> batch` runs INSIDE the jit graph before the
     microbatch split — this is where the batched on-device augmentation
     pipeline (s3od_tpu/ops/augment.py) plugs in.
+
+    `forward_fn(params, bn_state, micro_batch, rope_scale) -> (outputs,
+    new_bn)` overrides the model forward (used by the FLUX-teacher training
+    path, which consumes transformer_features/concept_maps from the batch).
     """
+
+    def default_forward(params, bn_state, micro_batch, rope_scale):
+        return segmentation_forward(
+            params, bn_state, micro_batch["images"], cfg,
+            training=True, compute_dtype=compute_dtype,
+            rope_coord_scale=rope_scale,
+        )
+
+    fwd = forward_fn or default_forward
 
     def loss_fn(params, bn_state, micro_batch, epoch, rng):
         rope_scale = None
         if rope_rescale and cfg.encoder.pos_embed_rescale:
             rope_scale = sample_rope_coord_scale(rng, cfg.encoder.pos_embed_rescale)
-        outputs, new_bn = segmentation_forward(
-            params,
-            bn_state,
-            micro_batch["images"],
-            cfg,
-            training=True,
-            compute_dtype=compute_dtype,
-            rope_coord_scale=rope_scale,
-        )
+        outputs, new_bn = fwd(params, bn_state, micro_batch, rope_scale)
         loss, parts = loss_module(outputs, micro_batch, epoch)
         metrics = _best_mask_metrics(outputs, micro_batch["masks"])
         return loss, (parts, new_bn, metrics)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @jax.jit
+    # Donate the state: outputs alias inputs, so queued steps don't each
+    # hold a full params+optimizer copy (OOM at 1024px otherwise).
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, epoch, rng):
         if preprocess_fn is not None:
             rng, rng_pre = jax.random.split(rng)
@@ -166,15 +174,21 @@ def make_eval_step(
     *,
     compute_dtype=jnp.float32,
     preprocess_fn=None,
+    forward_fn=None,
 ):
+    def default_forward(params, bn_state, micro_batch, rope_scale):
+        return segmentation_forward(
+            params, bn_state, micro_batch["images"], cfg,
+            training=False, compute_dtype=compute_dtype,
+        )
+
+    fwd = forward_fn or default_forward
+
     @jax.jit
     def eval_step(params, bn_state, batch, epoch):
         if preprocess_fn is not None:
             batch = preprocess_fn(None, batch)
-        outputs, _ = segmentation_forward(
-            params, bn_state, batch["images"], cfg,
-            training=False, compute_dtype=compute_dtype,
-        )
+        outputs, _ = fwd(params, bn_state, batch, None)
         loss, parts = loss_module(outputs, batch, epoch)
         metrics = _best_mask_metrics(outputs, batch["masks"])
         return {"loss": loss, **parts, **metrics}
