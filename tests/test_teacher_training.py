@@ -99,12 +99,13 @@ def test_teacher_train_step_wiring():
             "background": jnp.asarray(rng.random((1, ph, ph)), jnp.float32),
         },
     }
+    # Snapshot before stepping: the train step donates its input state.
+    b0 = np.asarray(state["fusion"][0]["vit"]["bn"]["mean"]).copy()
     losses = []
     for i in range(3):
         ts, out = step(ts, batch, jnp.asarray(0.0), jax.random.key(0))
         losses.append(float(out["loss"]))
     assert losses[-1] < losses[0]
     # BN state moved
-    b0 = np.asarray(state["fusion"][0]["vit"]["bn"]["mean"])
     b1 = np.asarray(ts.bn_state["fusion"][0]["vit"]["bn"]["mean"])
     assert not np.allclose(b0, b1)
