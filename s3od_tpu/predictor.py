@@ -67,6 +67,7 @@ class BackgroundRemoval:
         image_size: int = 1024,
         device: Optional[str] = None,
         dtype: Optional[str] = None,
+        data_parallel: bool = False,
         _params_state_cfg: Optional[tuple] = None,
     ):
         self.image_size = image_size
@@ -74,6 +75,15 @@ class BackgroundRemoval:
         if dtype is None:
             dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
         self.compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        # Multi-chip serving: shard batched inference over all devices
+        # (batch must be divisible by the device count).
+        self._mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+
+            import numpy as _np
+
+            self._mesh = Mesh(_np.asarray(jax.devices()), axis_names=("data",))
 
         if _params_state_cfg is not None:
             self.params, self.state, self.cfg = _params_state_cfg
@@ -228,8 +238,15 @@ class BackgroundRemoval:
         ]
         pre = [self._preprocess(a) for a in arrays]
         batch = np.stack([p[0] for p in pre])
+        batch_j = jnp.asarray(batch)
+        if self._mesh is not None and batch.shape[0] % self._mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_j = jax.device_put(
+                batch_j, NamedSharding(self._mesh, PartitionSpec("data"))
+            )
         masks, ious = self._forward_fn(self.image_size)(
-            self.params, self.state, jnp.asarray(batch)
+            self.params, self.state, batch_j
         )
         masks = np.asarray(masks, dtype=np.float32)
         ious = np.asarray(ious, dtype=np.float32)

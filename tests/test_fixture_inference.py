@@ -1,0 +1,105 @@
+"""Fixture-based inference tests (reference `tests/test_fixture_inference.py`).
+
+The behavioral contracts (IoU >= 0.9 vs GT, alpha == best mask, threshold
+sweep) need a trained checkpoint; like the reference's `requires_model`
+tests they skip unless one is present (S3OD_CHECKPOINT env var, or
+`model.pt`/`s3od.npz` in the repo root). Structure/shape contracts run
+against the deterministic tiny model regardless.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from s3od_tpu.configs import tiny_test_config
+from s3od_tpu.models.segmentation import init_segmentation_params
+from s3od_tpu.predictor import BackgroundRemoval
+
+FIXTURE = Path(__file__).parent / "fixture"
+
+
+def _checkpoint_path():
+    env = os.environ.get("S3OD_CHECKPOINT")
+    if env and Path(env).exists():
+        return env
+    for name in ("model.pt", "s3od.pt", "s3od.npz"):
+        p = Path(__file__).parent.parent / name
+        if p.exists():
+            return str(p)
+    return None
+
+
+@pytest.fixture(scope="module")
+def fixture_pair():
+    image = np.array(Image.open(FIXTURE / "image.jpg").convert("RGB"))
+    mask = np.array(Image.open(FIXTURE / "mask.png").convert("L")) > 128
+    return image, mask.astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def tiny_predictor():
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    return BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+
+
+def _iou(a, b):
+    inter = np.logical_and(a > 0.5, b > 0.5).sum()
+    union = np.logical_or(a > 0.5, b > 0.5).sum()
+    return inter / union if union else 1.0
+
+
+class TestFixtureStructure:
+    """Checkpoint-free structural contracts on the committed fixture."""
+
+    def test_result_structure(self, tiny_predictor, fixture_pair):
+        image, _ = fixture_pair
+        r = tiny_predictor.remove_background(image)
+        assert r.predicted_mask.shape == image.shape[:2]
+        assert r.all_masks.shape[0] == 3 and len(r.all_ious) == 3
+        assert r.rgba_image.mode == "RGBA"
+        assert r.rgba_image.size == (image.shape[1], image.shape[0])
+
+    def test_alpha_equals_best_mask(self, tiny_predictor, fixture_pair):
+        image, _ = fixture_pair
+        r = tiny_predictor.remove_background(image)
+        alpha = np.asarray(r.rgba_image)[..., 3] / 255.0
+        assert _iou(alpha, r.predicted_mask) > 0.95
+
+    def test_best_is_argmax(self, tiny_predictor, fixture_pair):
+        image, _ = fixture_pair
+        r = tiny_predictor.remove_background(image)
+        np.testing.assert_array_equal(
+            r.predicted_mask, r.all_masks[int(r.all_ious.argmax())]
+        )
+
+
+@pytest.mark.requires_model
+@pytest.mark.skipif(_checkpoint_path() is None,
+                    reason="no trained checkpoint available")
+class TestFixtureQuality:
+    """Reference quality contracts (`test_fixture_inference.py:54-134`)."""
+
+    @pytest.fixture(scope="class")
+    def predictor(self):
+        return BackgroundRemoval(model_id=_checkpoint_path())
+
+    def test_iou_vs_gt(self, predictor, fixture_pair):
+        image, gt = fixture_pair
+        r = predictor.remove_background(image)
+        assert _iou(r.predicted_mask, gt) >= 0.9
+
+    def test_threshold_sweep(self, predictor, fixture_pair):
+        image, gt = fixture_pair
+        best = max(
+            _iou(predictor.remove_background(image, threshold=t).predicted_mask, gt)
+            for t in (0.3, 0.5, 0.7)
+        )
+        assert best >= 0.9

@@ -116,3 +116,19 @@ def test_native_checkpoint_roundtrip(tmp_path, predictor, circle_image):
     r1 = predictor.remove_background(img)
     r2 = p2.remove_background(img)
     np.testing.assert_allclose(r1.predicted_mask, r2.predicted_mask, atol=1e-6)
+
+
+def test_data_parallel_batch(circle_image):
+    """Sharded batched inference over the virtual multi-device mesh."""
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    dp = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32", data_parallel=True
+    )
+    assert dp._mesh is not None and dp._mesh.size > 1
+    img, _ = circle_image
+    imgs = [img] * dp._mesh.size
+    results = dp.remove_background_batch(imgs)
+    single = dp.remove_background(img)
+    for r in results:
+        np.testing.assert_allclose(r.predicted_mask, single.predicted_mask, atol=1e-5)
