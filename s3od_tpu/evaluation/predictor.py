@@ -60,6 +60,13 @@ class SODPredictor:
             self.params, self.state, self.cfg = _params_state_cfg
         else:
             self.params, self.state, self.cfg = self._load(checkpoint_path)
+        if self.compute_dtype == jnp.bfloat16:
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.params,
+            )
         self._jit = None
 
     @classmethod
