@@ -1,0 +1,112 @@
+"""Dynamic-batching serving runtime.
+
+Production-serving layer the reference lacks (its demo handles one request
+at a time): concurrent requests are queued, a background batcher aggregates
+them into padded batches (up to `max_batch` or `max_wait_ms`), runs ONE
+jitted forward for the whole batch, and distributes results. Throughput
+scales with batch while keeping tail latency bounded.
+
+Usage:
+    server = InferenceServer(BackgroundRemoval(...), max_batch=8)
+    server.start()
+    result = server.submit(image)          # blocking, thread-safe
+    futures = [server.submit_async(im) for im in imgs]
+    ...
+    server.stop()
+
+The stdlib HTTP demo (`demo/app.py`) can be pointed at this for concurrent
+deployments; it is also usable directly from any Python web framework.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional, Union
+
+import numpy as np
+
+
+class InferenceServer:
+    def __init__(
+        self,
+        predictor,
+        *,
+        max_batch: int = 8,
+        max_wait_ms: float = 10.0,
+    ):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "batch_size_sum": 0}
+
+    # ------------------------------------------------------------------
+    def start(self) -> "InferenceServer":
+        if self._thread is not None:
+            return self
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def submit_async(self, image: np.ndarray, threshold: float = 0.5) -> Future:
+        fut: Future = Future()
+        self._queue.put((image, threshold, fut))
+        return fut
+
+    def submit(self, image: np.ndarray, threshold: float = 0.5):
+        return self.submit_async(image, threshold).result()
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> List:
+        """Block for the first request, then greedily batch within the
+        wait budget."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(items) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            images = [it[0] for it in items]
+            try:
+                results = self.predictor.remove_background_batch(images)
+                for (_, _, fut), res in zip(items, results):
+                    fut.set_result(res)
+            except Exception as e:  # noqa: BLE001
+                for _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+            self.stats["requests"] += len(items)
+            self.stats["batches"] += 1
+            self.stats["batch_size_sum"] += len(items)
+
+    @property
+    def mean_batch_size(self) -> float:
+        b = self.stats["batches"]
+        return self.stats["batch_size_sum"] / b if b else 0.0

@@ -1,0 +1,110 @@
+"""Serving runtime + on-device augmentation tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.configs import tiny_test_config
+from s3od_tpu.models.segmentation import init_segmentation_params
+from s3od_tpu.ops.augment import augment_batch, normalize_imagenet, random_flips
+from s3od_tpu.predictor import BackgroundRemoval
+from s3od_tpu.serving import InferenceServer
+
+
+def test_serving_batches_concurrent_requests(circle_image):
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    pred = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+    img, _ = circle_image
+    # warm the jit so batching actually aggregates
+    pred.remove_background_batch([img] * 4)
+
+    server = InferenceServer(pred, max_batch=4, max_wait_ms=200).start()
+    try:
+        futures = [server.submit_async(img) for _ in range(8)]
+        results = [f.result(timeout=60) for f in futures]
+    finally:
+        server.stop()
+    single = pred.remove_background(img)
+    for r in results:
+        np.testing.assert_allclose(
+            r.predicted_mask, single.predicted_mask, atol=1e-5
+        )
+    assert server.stats["requests"] == 8
+    assert server.mean_batch_size > 1.0  # actually batched
+
+
+def test_serving_propagates_errors():
+    class Boom:
+        def remove_background_batch(self, images):
+            raise RuntimeError("boom")
+
+    server = InferenceServer(Boom(), max_batch=2, max_wait_ms=1).start()
+    try:
+        fut = server.submit_async(np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=10)
+    finally:
+        server.stop()
+
+
+# ----------------------------------------------------------------------------
+# Augmentation
+# ----------------------------------------------------------------------------
+
+
+def _batch(b=4, s=32, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = jnp.asarray(rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8))
+    masks = jnp.asarray((rng.random((b, s, s)) > 0.5), jnp.float32)
+    return imgs, masks
+
+
+@pytest.mark.parametrize("mode", ["test", "regular", "synthetic"])
+def test_augment_modes(mode):
+    imgs, masks = _batch()
+    x, m = augment_batch(jax.random.key(0), imgs, masks, mode)
+    assert x.shape == imgs.shape and x.dtype == jnp.float32
+    assert float(x.min()) >= 0.0 and float(x.max()) <= 1.0
+    assert m.shape == masks.shape
+    if mode == "test":
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(imgs, np.float32) / 255.0
+        )
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(masks))
+
+
+def test_augment_deterministic_per_key():
+    imgs, masks = _batch()
+    x1, m1 = augment_batch(jax.random.key(7), imgs, masks, "regular")
+    x2, m2 = augment_batch(jax.random.key(7), imgs, masks, "regular")
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    x3, _ = augment_batch(jax.random.key(8), imgs, masks, "regular")
+    assert not np.array_equal(np.asarray(x1), np.asarray(x3))
+
+
+def test_flips_keep_mask_aligned():
+    """A mask marking a corner must move with the image under flips."""
+    s = 16
+    imgs = np.zeros((8, s, s, 3), np.float32)
+    masks = np.zeros((8, s, s), np.float32)
+    imgs[:, :4, :4, 0] = 1.0
+    masks[:, :4, :4] = 1.0
+    x, m = random_flips(jax.random.key(3), jnp.asarray(imgs), jnp.asarray(masks),
+                        p_h=1.0, p_v=1.0, p_rot90=0.5)
+    x, m = np.asarray(x), np.asarray(m)
+    # wherever the red patch went, the mask went too
+    np.testing.assert_array_equal((x[..., 0] > 0.5), (m > 0.5))
+
+
+def test_normalize_imagenet_roundtrip():
+    x = jnp.full((1, 4, 4, 3), 0.5, jnp.float32)
+    y = np.asarray(normalize_imagenet(x))
+    expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array(
+        [0.229, 0.224, 0.225]
+    )
+    np.testing.assert_allclose(y[0, 0, 0], expected, atol=1e-6)
