@@ -17,7 +17,7 @@ S-measure, >0 for E/wF; per-dataset means.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

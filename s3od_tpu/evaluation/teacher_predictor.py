@@ -13,8 +13,7 @@ precomputed .npz files (offline extraction path) via `predict_from_npz`.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -24,7 +24,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import List, Optional, Union
+from typing import List, Optional
 
 import numpy as np
 

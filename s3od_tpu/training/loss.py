@@ -15,7 +15,7 @@ Loss weights/configs mirror `config/loss/{focal_iou,bce_iou_ssim}.yaml`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
