@@ -204,11 +204,18 @@ def dpt_head_forward(
         conv2d(feat, {"kernel": k_fused, "bias": b_fused}, padding=1)
     )
     inter = mh["heads"][0]["conv0"]["kernel"].shape[-1]
-    masks = []
+    n_out = len(mh["heads"])
+    # Single block-diagonal 1x1 over the concatenated branches: one pass,
+    # no per-branch slices.
+    k1 = jnp.zeros((inter * n_out, n_out), hidden.dtype)
+    b1 = jnp.zeros((n_out,), hidden.dtype)
     for i, head in enumerate(mh["heads"]):
-        m = conv1x1(hidden[..., i * inter : (i + 1) * inter], head["conv1"])
-        masks.append(m[..., 0])
-    pred_masks = jnp.stack(masks, axis=1)  # (B, n_out, H, W)
+        k1 = k1.at[i * inter : (i + 1) * inter, i].set(
+            head["conv1"]["kernel"][0, 0, :, 0].astype(hidden.dtype)
+        )
+        b1 = b1.at[i].set(head["conv1"]["bias"][0].astype(hidden.dtype))
+    m = jnp.matmul(hidden, k1) + b1  # (B, H, W, n_out)
+    pred_masks = m.transpose(0, 3, 1, 2)  # (B, n_out, H, W)
 
     return (
         {"pred_masks": pred_masks, "pred_iou": iou, "features": path1},
