@@ -299,7 +299,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
 
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
-        sums: Dict[str, float] = {}
+        acc = None
         n_steps = 0
         for batch in train_loader.epoch(epoch):
             rng, step_rng = jax.random.split(rng)
@@ -307,13 +307,15 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
                 state, shard_batch(batch, mesh),
                 jnp.asarray(float(epoch)), step_rng,
             )
+            # Device-side accumulation: no host readback (which would stall
+            # the dispatch pipeline); one transfer per epoch.
+            acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
             n_steps += 1
-            if n_steps % 50 == 0 or n_steps == steps_per_epoch:
-                host = {k: float(v) for k, v in out.items()}
-                for k, v in host.items():
-                    sums[k] = sums.get(k, 0.0) + v
+        sums = (
+            {k: float(v) for k, v in acc.items()} if acc is not None else {}
+        )
         train_metrics = {
-            f"train_{k}": v / max(1, n_steps // 50)
+            f"train_{k}": v / max(1, n_steps)
             for k, v in sums.items() if k not in ("tp", "fp", "fn")
         }
         train_metrics.update(
