@@ -190,12 +190,10 @@ class BackgroundRemoval:
         resized = _resize_image(image, pad_info["resized_size"])
         padded = np.zeros((self.image_size, self.image_size, 3), dtype=np.uint8)
         hp, wp = pad_info["height_pad"], pad_info["width_pad"]
-        if hp > 0:
-            padded[hp:-hp, :] = resized
-        elif wp > 0:
-            padded[:, wp:-wp] = resized
-        else:
-            padded = resized
+        # Exact-size placement: the reference's `padded[hp:-hp] = resized`
+        # (`src/s3od/predictor.py:85-87`) crashes when canvas - new_size is
+        # odd (slice is one row larger than the resized image).
+        padded[hp : hp + resized.shape[0], wp : wp + resized.shape[1]] = resized
         return padded, pad_info
 
     def remove_background(

@@ -35,9 +35,15 @@ def get_pad_info(image: np.ndarray, image_size: int = 1024) -> Dict[str, Any]:
 
 
 def remove_padding(masks: np.ndarray, pad_info: Dict[str, Any]) -> np.ndarray:
-    """masks: (N, H, W). Crop the letterbox padding back out."""
-    if pad_info["height_pad"] > 0:
-        masks = masks[:, pad_info["height_pad"] : -pad_info["height_pad"], :]
-    if pad_info["width_pad"] > 0:
-        masks = masks[:, :, pad_info["width_pad"] : -pad_info["width_pad"]]
+    """masks: (N, H, W). Crop the letterbox padding back out.
+
+    Exact-size crop (the reference's symmetric `[pad:-pad]` slice,
+    `src/s3od/utils.py:32-37`, is identical for even padding and
+    off-by-one — paired with a crash upstream — for odd padding)."""
+    hp, wp = pad_info["height_pad"], pad_info["width_pad"]
+    nh, nw = pad_info["resized_size"]
+    if hp > 0:
+        masks = masks[:, hp : hp + nh, :]
+    if wp > 0:
+        masks = masks[:, :, wp : wp + nw]
     return masks

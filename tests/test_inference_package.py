@@ -51,7 +51,12 @@ def test_numpy_and_pil_parity(predictor, circle_image):
     np.testing.assert_allclose(r_np.predicted_mask, r_pil.predicted_mask, atol=1e-6)
 
 
-@pytest.mark.parametrize("shape", [(100, 100), (900, 900), (200, 400), (400, 200)])
+@pytest.mark.parametrize(
+    "shape",
+    # includes aspect ratios producing ODD letterbox padding (the reference
+    # crashes on those: `src/s3od/predictor.py:85-87`)
+    [(100, 100), (900, 900), (200, 400), (400, 200), (255, 512), (512, 255)],
+)
 def test_shape_preservation(predictor, shape):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=shape + (3,), dtype=np.uint8)
