@@ -94,8 +94,14 @@ class InferenceServer:
             if not items:
                 continue
             images = [it[0] for it in items]
+            # Pad to the fixed max_batch so the device sees ONE compiled
+            # shape regardless of how many requests arrived (variable batch
+            # sizes would trigger a compile per size).
+            n_real = len(images)
+            while len(images) < self.max_batch:
+                images.append(images[-1])
             try:
-                results = self.predictor.remove_background_batch(images)
+                results = self.predictor.remove_background_batch(images)[:n_real]
                 for (_, _, fut), res in zip(items, results):
                     fut.set_result(res)
             except Exception as e:  # noqa: BLE001
