@@ -214,7 +214,9 @@ def dpt_head_forward(
             head["conv1"]["kernel"][0, 0, :, 0].astype(hidden.dtype)
         )
         b1 = b1.at[i].set(head["conv1"]["bias"][0].astype(hidden.dtype))
-    m = jnp.matmul(hidden, k1) + b1  # (B, H, W, n_out)
+    # As a real 1x1 conv op (not a matmul) so XLA keeps the conv-friendly
+    # layout of `hidden` — the matmul form forced a 0.7ms relayout copy.
+    m = conv2d(hidden, {"kernel": k1[None, None], "bias": b1})
     pred_masks = m.transpose(0, 3, 1, 2)  # (B, n_out, H, W)
 
     return (
