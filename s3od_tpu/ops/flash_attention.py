@@ -35,8 +35,8 @@ NEG_INF = -1e30
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, scale, n_valid, block_k,
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale,
 ):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -55,8 +55,9 @@ def _fwd_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    # Padding mask as a precomputed additive bias row: one VPU pass instead
+    # of iota+compare+select per block (softmax VPU time bounds this kernel).
+    s = s + bias_ref[0]
 
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -87,16 +88,18 @@ def _flash_forward(q, k, v, scale, block_q, block_k, *, want_lse=False):
 
     nq = n_pad // block_q
     nk = n_pad // block_k
+    bias = jnp.where(
+        jnp.arange(n_pad) < n, 0.0, NEG_INF
+    ).astype(jnp.float32)[None, :]
 
     out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, scale=scale, n_valid=n, block_k=block_k
-        ),
+        functools.partial(_fwd_kernel, scale=scale),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k), lambda b, i, j: (0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -114,7 +117,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, *, want_lse=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v)
+    )(q, k, v, bias)
     if want_lse:
         return out[:, :n, :], lse[:, :n, :]
     return out[:, :n, :]
