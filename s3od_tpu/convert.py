@@ -284,8 +284,14 @@ def export_torch_state_dict(params: dict, state: Optional[dict]) -> Dict:
         sd[key] = np.asarray(arr, dtype=np.float32)
 
     enc = params["encoder"]
+    hid_dim = np.asarray(enc["cls_token"]).shape[-1]
     put("encoder.embeddings.cls_token", enc["cls_token"])
     put("encoder.embeddings.mask_token", np.zeros_like(np.asarray(enc["cls_token"])))
+    # Final encoder LayerNorm: dead code for the DPT taps (hidden_states
+    # [2,5,8,11] never pass through it) so we don't keep it — emit identity
+    # values to satisfy the reference's strict load.
+    put("encoder.norm.weight", np.ones((hid_dim,), np.float32))
+    put("encoder.norm.bias", np.zeros((hid_dim,), np.float32))
     put("encoder.embeddings.register_tokens", enc["register_tokens"])
     pe = np.asarray(enc["patch_embed"]["kernel"])  # (p*p*3, hid)
     hid = pe.shape[1]

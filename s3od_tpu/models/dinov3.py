@@ -232,6 +232,10 @@ def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> dict:
         d, m = cfg.hidden_size, cfg.intermediate_size
         return {
             "norm1": {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            # Fused qkv keeps a full bias vector for layout simplicity, but
+            # the key segment is initialized zero (DINOv3 has key_bias=False;
+            # a key bias is softmax-invariant anyway — it adds a per-query
+            # constant to every logit).
             "attention": {
                 "qkv": linear(kk[0], d, 3 * d, True),
                 "o_proj": linear(kk[3], d, d, cfg.proj_bias),
