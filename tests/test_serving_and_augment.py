@@ -108,3 +108,17 @@ def test_normalize_imagenet_roundtrip():
         [0.229, 0.224, 0.225]
     )
     np.testing.assert_allclose(y[0, 0, 0], expected, atol=1e-6)
+
+
+def test_slope_time_and_trace_summary(tmp_path):
+    from s3od_tpu.profiling import capture_trace, slope_time, summarize_trace
+
+    x = jnp.ones((256, 256))
+    f = jax.jit(lambda x: x @ x)
+    y = f(x)
+    dt = slope_time(lambda: f(x), lambda o: float(o[0, 0]),
+                    n_small=2, n_large=6, repeats=1)
+    assert dt >= 0
+    path = capture_trace(lambda: float(f(x)[0, 0]), str(tmp_path / "tr"), iters=2)
+    summary = summarize_trace(path, iters=2)
+    assert summary["total_ms"] >= 0 and isinstance(summary["by_category"], list)
