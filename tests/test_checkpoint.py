@@ -1,0 +1,75 @@
+"""CheckpointManager + EarlyStopping unit tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.configs import tiny_test_config
+from s3od_tpu.models.segmentation import init_segmentation_params
+from s3od_tpu.training.checkpoint import CheckpointManager, EarlyStopping
+from s3od_tpu.training.optim import make_optimizer
+from s3od_tpu.training.train_step import TrainState
+
+
+@pytest.fixture
+def state():
+    cfg = tiny_test_config()
+    params, bn = init_segmentation_params(jax.random.key(0), cfg)
+    opt = make_optimizer(1e-4, steps_per_epoch=10)
+    return TrainState.create(params, bn, opt), opt
+
+
+def test_topk_rotation_and_restore(tmp_path, state):
+    ts, opt = state
+    mgr = CheckpointManager(str(tmp_path), top_k=2, monitor="val_dice",
+                            mode="max")
+    scores = [0.1, 0.5, 0.3, 0.7, 0.2]
+    for epoch, s in enumerate(scores):
+        ts = TrainState(params=ts.params, bn_state=ts.bn_state,
+                        opt_state=ts.opt_state,
+                        step=jnp.asarray(epoch, jnp.int32))
+        mgr.save(ts, epoch=epoch, metrics={"val_dice": s})
+    # top-2 kept: epochs 3 (0.7) and 1 (0.5)
+    kept = [e["epoch"] for e in mgr.index["best"]]
+    assert kept == [3, 1]
+    assert mgr.best_path().name == "epoch0003"
+    assert not (tmp_path / "epoch0000").exists()
+    assert (tmp_path / "last").exists()
+
+    restored = mgr.restore(ts, "best")
+    assert int(restored.step) == 3
+    restored_last = mgr.restore(ts, "last")
+    assert int(restored_last.step) == 4
+
+    # a fresh manager on the same dir resumes the index
+    mgr2 = CheckpointManager(str(tmp_path), top_k=2, monitor="val_dice",
+                             mode="max")
+    assert [e["epoch"] for e in mgr2.index["best"]] == [3, 1]
+
+
+def test_export_inference(tmp_path, state):
+    ts, _ = state
+    mgr = CheckpointManager(str(tmp_path))
+    out = tmp_path / "final.npz"
+    mgr.export_inference(ts, str(out))
+    from s3od_tpu.convert import load_native
+
+    params, bn = load_native(str(out))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ts.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_stopping_min_mode():
+    es = EarlyStopping("val_loss", patience=2, mode="min", min_delta=0.01)
+    assert not es.update({"val_loss": 1.0})
+    assert not es.update({"val_loss": 0.9})   # improvement
+    assert not es.update({"val_loss": 0.895})  # < min_delta: strike 1
+    assert es.update({"val_loss": 0.91}) is True  # strike 2 -> stop
+
+
+def test_early_stopping_ignores_missing_metric():
+    es = EarlyStopping("val_loss", patience=1, mode="min")
+    assert not es.update({"other": 1.0})
+    assert not es.update({"other": 2.0})
