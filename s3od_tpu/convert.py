@@ -311,8 +311,25 @@ def export_torch_state_dict(params: dict, state: Optional[dict]) -> Dict:
         c = qkv_k.shape[0]
         for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
             put(f"{pre}.attention.{name}.weight", qkv_k[:, j * c : (j + 1) * c].T)
-            if name != "k_proj":  # key_bias=False in the reference config
+            if name != "k_proj":
                 put(f"{pre}.attention.{name}.bias", qkv_b[j * c : (j + 1) * c])
+            else:
+                # key_bias=False in the reference config, so the .pt format
+                # cannot represent a key bias. It is NOT droppable when
+                # nonzero: RoPE rotates keys AFTER the projection, so the
+                # bias contributes a position-dependent q.R_j.b term to the
+                # logits. Training keeps this segment frozen at zero
+                # (optim.freeze_qkv_key_bias); fail loudly if it drifted.
+                k_bias = qkv_b[j * c : (j + 1) * c]
+                if float(np.abs(k_bias).max()) > 1e-6:
+                    raise ValueError(
+                        f"layer {i}: fused-QKV key-bias segment is nonzero "
+                        f"(max |b_k| = {float(np.abs(k_bias).max()):.2e}); "
+                        "the reference .pt format has key_bias=False and a "
+                        "nonzero key bias changes outputs under RoPE. "
+                        "Retrain with the key-bias freeze or zero it "
+                        "explicitly before export."
+                    )
         put(f"{pre}.attention.o_proj.weight",
             np.asarray(blk["attention"]["o_proj"]["kernel"]).T)
         put(f"{pre}.attention.o_proj.bias", blk["attention"]["o_proj"]["bias"])

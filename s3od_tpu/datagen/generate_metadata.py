@@ -33,6 +33,22 @@ import numpy as np
 from s3od_tpu.datagen.filters.vlm import _LazyVLM
 from s3od_tpu.datagen.sharding import detect_task, task_slice
 
+# Test-set registry of the reference metadata generator
+# (`generate_test_metadata.py:25-27`).
+DIS_DATASETS = ["DIS-TE1", "DIS-TE2", "DIS-TE3", "DIS-TE4", "DIS-VD"]
+SOD_DATASETS = ["HRSOD-TE", "UHRSD-TE", "ECSSD", "DUTS-TE", "HKU-IS",
+                "DUT-OMRON", "DAVIS-S"]
+TRAIN_DATASETS = ["DIS-TR", "HRSOD-TR", "UHRSD-TR", "DUTS-TR"]
+
+
+def resolve_datasets(spec: str) -> List[str]:
+    groups = {"dis": DIS_DATASETS, "sod": SOD_DATASETS,
+              "all": DIS_DATASETS + SOD_DATASETS, "train": TRAIN_DATASETS}
+    if spec in groups:
+        return groups[spec]
+    return [d.strip() for d in spec.split(",")]
+
+
 CAPTION_PROMPT = (
     "Describe this image in one or two sentences, focusing on the main "
     "salient object and the scene."
@@ -108,7 +124,8 @@ def main():
     ap.add_argument("--input_dir", required=True)
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--datasets", required=True,
-                    help="comma-separated dataset dir names")
+                    help="comma-separated dataset dir names, or a group: "
+                         "dis | sod | all | train")
     ap.add_argument("--model_id", default="google/gemma-3-4b-it")
     ap.add_argument("--task_id", type=int, default=None)
     ap.add_argument("--num_tasks", type=int, default=None)
@@ -117,7 +134,7 @@ def main():
 
     gen = MetadataGenerator(args.model_id)
     tid, ntasks = detect_task(args.task_id, args.num_tasks)
-    for ds in args.datasets.split(","):
+    for ds in resolve_datasets(args.datasets):
         n = process_dataset(
             Path(args.input_dir) / ds, Path(args.output_dir) / ds, gen,
             tid, ntasks,

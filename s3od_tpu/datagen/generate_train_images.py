@@ -98,24 +98,20 @@ def make_backend(cfg: GenerationConfig) -> ImageBackend:
     )
 
 
-def load_class_list(path: Optional[str]) -> Dict[str, str]:
-    """{index: class name}. Falls back to a small builtin list for tests.
+VENDORED_CLASS_LIST = Path(__file__).parent / "data" / "imagenet_classes.json"
 
-    Production runs should point `class_list` at an ImageNet(-21k subset)
-    class JSON (the reference ships 1,100 classes,
-    `data_generation/imagenet_classes.json`)."""
-    if path:
-        data = json.loads(Path(path).read_text())
-        if isinstance(data, list):
-            return {str(i): c for i, c in enumerate(data)}
-        return {str(k): v for k, v in data.items()}
-    builtin = [
-        "golden retriever", "tabby cat", "red fox", "monarch butterfly",
-        "daisy", "acoustic guitar", "coffee mug", "mountain bike",
-        "backpack", "wrist watch", "running shoe", "park bench",
-        "teapot", "umbrella", "violin", "basketball",
-    ]
-    return {str(i): c for i, c in enumerate(builtin)}
+
+def load_class_list(path: Optional[str]) -> Dict[str, str]:
+    """{index: class name}. Defaults to the vendored 1,100-class ImageNet(+)
+    list (same class-name data as the reference's
+    `data_generation/imagenet_classes.json` — config data the generated
+    dataset's category distribution must match), so the factory is runnable
+    out of the box. Pass a path to override."""
+    p = Path(path) if path else VENDORED_CLASS_LIST
+    data = json.loads(p.read_text())
+    if isinstance(data, list):
+        return {str(i): c for i, c in enumerate(data)}
+    return {str(k): v for k, v in data.items()}
 
 
 def load_class_weights(path: Optional[str], default_n: int) -> Dict[str, int]:

@@ -21,13 +21,19 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+# `compute_metrics.py:198-208` evaluation sets plus the extra sets the
+# metadata generator covers (`generate_test_metadata.py:25-27`): DIS-VD,
+# ECSSD, HKU-IS.
 DIS_DATASETS = ["DIS-TE1", "DIS-TE2", "DIS-TE3", "DIS-TE4"]
 SOD_DATASETS = ["DUTS-TE", "DUT-OMRON", "HRSOD-TE", "UHRSD-TE", "DAVIS-S"]
+EXTRA_DATASETS = ["DIS-VD", "ECSSD", "HKU-IS"]
 
 
 def get_datasets(datasets: str) -> List[str]:
     if datasets == "all":
         return DIS_DATASETS + SOD_DATASETS
+    if datasets == "full":
+        return DIS_DATASETS + ["DIS-VD"] + SOD_DATASETS + ["ECSSD", "HKU-IS"]
     if datasets == "dis":
         return DIS_DATASETS
     if datasets == "sod":

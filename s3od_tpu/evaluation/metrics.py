@@ -267,6 +267,10 @@ class MetricAccumulator:
         self._add("MaxF", maxf)
         self._add("AvgF", avgf)
         self.em_curves.append(e_measure_curve(pred, gt))
+        # The reference accumulates adaptive E-measure per image alongside
+        # the threshold curve (`model_training/metrics.py:16-45`); reported
+        # as `adpEm`.
+        self._add("adpEm", e_measure_adaptive(pred, gt))
         self._add("wF", weighted_f_measure(pred, gt))
 
     def compute(self) -> Dict[str, float]:

@@ -233,9 +233,11 @@ def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> dict:
         return {
             "norm1": {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))},
             # Fused qkv keeps a full bias vector for layout simplicity, but
-            # the key segment is initialized zero (DINOv3 has key_bias=False;
-            # a key bias is softmax-invariant anyway — it adds a per-query
-            # constant to every logit).
+            # the key segment is initialized zero (DINOv3 has key_bias=False)
+            # and must STAY zero: RoPE is applied after the k projection, so
+            # a nonzero key bias is rotated per position and is NOT
+            # softmax-invariant. Training freezes it
+            # (optim.freeze_qkv_key_bias) and torch export asserts it.
             "attention": {
                 "qkv": linear(kk[0], d, 3 * d, True),
                 "o_proj": linear(kk[3], d, d, cfg.proj_bias),

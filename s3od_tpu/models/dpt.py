@@ -231,8 +231,9 @@ def dpt_head_forward(
 
 
 def init_dpt_params(key: jax.Array, cfg: SegmentationConfig):
-    """Kaiming-uniform conv init (torch default) equivalents; returns
-    (params, state)."""
+    """Conv init matching torch's Conv2d default,
+    kaiming_uniform_(a=sqrt(5)): weight and bias bounds are both
+    sqrt(1/fan_in). Returns (params, state)."""
     import numpy as np
 
     rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).sum() % (2**31))
@@ -240,7 +241,7 @@ def init_dpt_params(key: jax.Array, cfg: SegmentationConfig):
     def conv(cin, cout, k, bias=True):
         fan_in = cin * k * k
         bound = float(np.sqrt(1.0 / fan_in))
-        w = rng.uniform(-np.sqrt(6.0 / fan_in), np.sqrt(6.0 / fan_in), (k, k, cin, cout))
+        w = rng.uniform(-bound, bound, (k, k, cin, cout))
         p = {"kernel": jnp.asarray(w, jnp.float32)}
         if bias:
             p["bias"] = jnp.asarray(rng.uniform(-bound, bound, (cout,)), jnp.float32)
@@ -249,9 +250,7 @@ def init_dpt_params(key: jax.Array, cfg: SegmentationConfig):
     def convt_block(cin, cout, f):
         fan_in = cin * f * f
         bound = float(np.sqrt(1.0 / fan_in))
-        w = rng.uniform(
-            -np.sqrt(6.0 / fan_in), np.sqrt(6.0 / fan_in), (cin, f * f * cout)
-        )
+        w = rng.uniform(-bound, bound, (cin, f * f * cout))
         return {
             "kernel": jnp.asarray(w, jnp.float32),
             "bias": jnp.asarray(rng.uniform(-bound, bound, (cout,)), jnp.float32),

@@ -372,15 +372,41 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def producer():
+            # Bounded in-flight window: at most num_threads + prefetch batches
+            # are ever submitted but undrained, so a slow consumer backs
+            # pressure onto loading instead of accumulating completed batch
+            # arrays in Future objects (tens of GB on large epochs).
+            window = self.num_threads + self.prefetch
             with ThreadPoolExecutor(self.num_threads) as pool:
-                futures = [pool.submit(load_batch, b) for b in range(n_batches)]
-                for fut in futures:
+                from collections import deque
+
+                inflight: "deque" = deque(
+                    pool.submit(load_batch, b)
+                    for b in range(min(window, n_batches))
+                )
+                next_b = len(inflight)
+                while inflight:
+                    fut = inflight.popleft()
                     if stop.is_set():
-                        for f2 in futures:
+                        for f2 in inflight:
                             f2.cancel()
                         return
-                    q.put(fut.result())
-            q.put(None)
+                    result = fut.result()
+                    if next_b < n_batches:
+                        inflight.append(pool.submit(load_batch, next_b))
+                        next_b += 1
+                    while not stop.is_set():
+                        try:
+                            q.put(result, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

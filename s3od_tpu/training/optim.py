@@ -40,6 +40,39 @@ def hold_cosine_schedule(
     return fn
 
 
+def freeze_qkv_key_bias() -> optax.GradientTransformation:
+    """Zero the key-bias segment of every fused-QKV bias gradient.
+
+    The fused (3C,) qkv bias carries a key segment at [C, 2C) that the
+    reference architecture does not have (key_bias=False) and that is NOT
+    softmax-invariant here (RoPE rotates keys after the projection). Keeping
+    its gradient at zero keeps the parameter exactly zero, so torch export
+    (`convert.export_torch_state_dict`) stays lossless.
+    """
+
+    def is_qkv_bias(path) -> bool:
+        names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        return len(names) >= 2 and names[-2] == "qkv" and names[-1] == "bias"
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def mask(path, u):
+            if is_qkv_bias(path) and u.ndim == 1 and u.shape[0] % 3 == 0:
+                c = u.shape[0] // 3
+                seg = jnp.concatenate(
+                    [jnp.ones((c,), u.dtype), jnp.zeros((c,), u.dtype),
+                     jnp.ones((c,), u.dtype)]
+                )
+                return u * seg
+            return u
+
+        return jax.tree_util.tree_map_with_path(mask, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
 def make_optimizer(
     lr: float = 1e-5,
     *,
@@ -75,6 +108,9 @@ def make_optimizer(
             "head": jax.tree.map(lambda _: "head", params["head"]),
         }
 
-    return optax.multi_transform(
-        {"encoder": adamw(lr), "head": adamw(lr * head_lr_mult)}, label_fn
+    return optax.chain(
+        freeze_qkv_key_bias(),
+        optax.multi_transform(
+            {"encoder": adamw(lr), "head": adamw(lr * head_lr_mult)}, label_fn
+        ),
     )

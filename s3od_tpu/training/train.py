@@ -290,8 +290,13 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
 
     start_epoch = 0
     if cfg.get("checkpoint_path"):
-        state = ckpt_restore_external(ckpt, state, cfg.checkpoint_path,
-                                      bool(cfg.get("weights_only")))
+        state, start_epoch = ckpt_restore_external(
+            ckpt, state, cfg.checkpoint_path, bool(cfg.get("weights_only")),
+            steps_per_epoch=steps_per_epoch,
+        )
+        if start_epoch:
+            logger.info("resuming at epoch %d (step %d)", start_epoch,
+                        int(state.step))
 
     rng = jax.random.key(seed + 1)
     max_epochs = int(cfg.backend.max_epochs)
@@ -432,14 +437,26 @@ def _log_val_images(writer, state, batch, mcfg, compute_dtype, epoch,
     logger_.flush(writer, "val", epoch)
 
 
-def ckpt_restore_external(ckpt, state, path: str, weights_only: bool):
-    """Resume from an explicit checkpoint directory path."""
+def ckpt_restore_external(ckpt, state, path: str, weights_only: bool,
+                          *, steps_per_epoch: int = 1):
+    """Resume from an explicit checkpoint directory path.
+
+    Returns (state, start_epoch). Full resume continues from the saved
+    epoch — the reference's Lightning `ckpt_path` restores the whole Trainer
+    including epoch (`model_training/train.py:135-140`), which matters here
+    because the multi-mask loss decay is exp(-decay_rate*epoch)
+    (`loss.py:226`). The epoch comes from the manager's index.json when the
+    checkpoint is one of ours, else from step // steps_per_epoch.
+    """
+    import json
+
     import jax
 
     from s3od_tpu.training.train_step import TrainState
 
+    path_p = Path(path).resolve()
     restored = ckpt.ckptr.restore(
-        Path(path).resolve(),
+        path_p,
         target=jax.device_get(
             {
                 "params": state.params,
@@ -450,14 +467,28 @@ def ckpt_restore_external(ckpt, state, path: str, weights_only: bool):
         ),
     )
     if weights_only:
+        # Weights-only init (reference `train.py:127-133`): fresh optimizer,
+        # schedules, and epoch counter.
         return TrainState(
             params=restored["params"], bn_state=restored["bn_state"],
             opt_state=state.opt_state, step=state.step,
-        )
+        ), 0
+
+    start_epoch = int(restored["step"]) // max(1, steps_per_epoch)
+    index_path = path_p.parent / "index.json"
+    if index_path.exists():
+        try:
+            index = json.loads(index_path.read_text())
+            for entry in [index.get("last")] + list(index.get("best", [])):
+                if entry and entry.get("path") == path_p.name:
+                    start_epoch = int(entry["epoch"]) + 1
+                    break
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass
     return TrainState(
         params=restored["params"], bn_state=restored["bn_state"],
         opt_state=restored["opt_state"], step=restored["step"],
-    )
+    ), start_epoch
 
 
 if __name__ == "__main__":

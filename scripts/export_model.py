@@ -87,11 +87,10 @@ def verify_torch_export(params, state, cfg, pt_path: str, size: int = 128):
     b, _ = segmentation_forward(params2, state2, x, cfg, training=False)
     diff = float(jnp.abs(a["pred_masks"] - b["pred_masks"]).max())
     print(f"torch round-trip max-abs-diff: {diff:.2e}")
-    # Tolerance note: models trained here may carry a redundant key bias in
-    # the fused QKV; the reference format (key_bias=False) cannot represent
-    # it. A key bias is mathematically softmax-invariant, so dropping it is
-    # output-equivalent — but it shifts fp rounding by ~1e-4.
-    assert diff < 2e-3
+    # The key-bias segment of the fused QKV is frozen at zero during training
+    # (optim.freeze_qkv_key_bias) and export_torch_state_dict raises if it is
+    # nonzero, so the round-trip is exact up to fp accumulation order.
+    assert diff < 1e-4
 
 
 def main():

@@ -73,3 +73,57 @@ def test_early_stopping_ignores_missing_metric():
     es = EarlyStopping("val_loss", patience=1, mode="min")
     assert not es.update({"other": 1.0})
     assert not es.update({"other": 2.0})
+
+
+def test_resume_continues_epoch(tmp_path, state):
+    """Full resume restores the epoch counter so the epoch-dependent loss
+    decay exp(-rate*epoch) continues rather than snapping back
+    (reference `model_training/train.py:135-140`)."""
+    from s3od_tpu.training.train import ckpt_restore_external
+
+    ts, opt = state
+    steps_per_epoch = 10
+    mgr = CheckpointManager(str(tmp_path), top_k=1, monitor="val_dice",
+                            mode="max")
+    # simulate 2 completed epochs
+    ts2 = TrainState(params=ts.params, bn_state=ts.bn_state,
+                     opt_state=ts.opt_state,
+                     step=jnp.asarray(2 * steps_per_epoch, jnp.int32))
+    mgr.save(ts2, epoch=1, metrics={"val_dice": 0.5})
+
+    restored, start_epoch = ckpt_restore_external(
+        mgr, ts, str(tmp_path / "last"), weights_only=False,
+        steps_per_epoch=steps_per_epoch,
+    )
+    assert int(restored.step) == 2 * steps_per_epoch
+    assert start_epoch == 2  # from index.json: saved epoch 1 -> resume at 2
+
+    # weights-only init resets the schedule and epoch
+    _, start_epoch_w = ckpt_restore_external(
+        mgr, ts, str(tmp_path / "last"), weights_only=True,
+        steps_per_epoch=steps_per_epoch,
+    )
+    assert start_epoch_w == 0
+
+
+def test_resume_epoch_from_step_without_index(tmp_path, state):
+    """External checkpoints without an index.json derive the epoch from
+    step // steps_per_epoch."""
+    from s3od_tpu.training.train import ckpt_restore_external
+
+    ts, _ = state
+    mgr = CheckpointManager(str(tmp_path / "managed"))
+    ts3 = TrainState(params=ts.params, bn_state=ts.bn_state,
+                     opt_state=ts.opt_state,
+                     step=jnp.asarray(35, jnp.int32))
+    # save into a bare directory (no index.json next to it)
+    mgr._save_tree(tmp_path / "external" / "ckpt", {
+        "params": ts3.params, "bn_state": ts3.bn_state,
+        "opt_state": ts3.opt_state, "step": ts3.step,
+    })
+    restored, start_epoch = ckpt_restore_external(
+        mgr, ts, str(tmp_path / "external" / "ckpt"), weights_only=False,
+        steps_per_epoch=10,
+    )
+    assert int(restored.step) == 35
+    assert start_epoch == 3

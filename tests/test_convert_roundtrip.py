@@ -78,3 +78,40 @@ def test_native_roundtrip_exact(tiny_model, tmp_path):
     params2, state2 = load_native(path)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_export_rejects_nonzero_key_bias(tiny_model):
+    """The .pt format has key_bias=False and RoPE rotates keys after the
+    projection, so a nonzero key bias changes outputs — export must fail
+    loudly rather than silently drop it."""
+    cfg, params, state = tiny_model
+    bad = jax.tree.map(lambda x: x, params)  # shallow structural copy
+    blk0 = bad["encoder"]["blocks"][0]
+    b = np.asarray(blk0["attention"]["qkv"]["bias"]).copy()
+    c = b.shape[0] // 3
+    b[c : 2 * c] = 0.01
+    blk0["attention"]["qkv"]["bias"] = jnp.asarray(b)
+    with pytest.raises(ValueError, match="key-bias"):
+        export_torch_state_dict(bad, state)
+
+
+def test_optimizer_freezes_qkv_key_bias(tiny_model):
+    """A training update with dense gradients must leave the key-bias
+    segment of every fused QKV bias exactly zero."""
+    import optax
+
+    from s3od_tpu.training.optim import make_optimizer
+
+    cfg, params, state = tiny_model
+    opt = make_optimizer(1e-2, steps_per_epoch=1)
+    opt_state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    for blk in new_params["encoder"]["blocks"]:
+        b = np.asarray(blk["attention"]["qkv"]["bias"])
+        c = b.shape[0] // 3
+        np.testing.assert_array_equal(b[c : 2 * c], 0.0)
+        # the q and v segments DID move
+        assert np.abs(b[:c]).max() > 0
+        assert np.abs(b[2 * c :]).max() > 0
