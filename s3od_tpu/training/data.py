@@ -100,6 +100,104 @@ def _random_resized_crop(
     )
 
 
+def host_geometric(
+    image: np.ndarray,
+    mask: np.ndarray,
+    rng: random.Random,
+    mode: str,
+    p_rotate: float = 0.2,
+    rotate_limit: float = 15.0,
+    p_distort: float = 0.4,
+    distort_limit: float = 0.3,
+    grid_steps: int = 6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side rotation + distortion warps via cv2 (the same engine
+    albumentations uses): Rotate ±15° p=.2 (`transforms.py:41`) and the
+    synthetic distortion OneOf p=.4 — OpticalDistortion w=.3 /
+    GridDistortion w=.3 / ElasticTransform w=.2 / Perspective w=.15
+    (`transforms.py:159-178`).
+
+    These run on the loader threads instead of in the jit graph because a
+    full-image point gather costs ~190 ms/batch at 1024² on v5e while
+    cv2.remap hides behind prefetch. Image bilinear, mask nearest, border
+    reflect-101, matching albumentations defaults.
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    border = cv2.BORDER_REFLECT_101
+
+    def remap(map_y, map_x):
+        nonlocal image, mask
+        image = cv2.remap(image, map_x, map_y, cv2.INTER_LINEAR,
+                          borderMode=border)
+        mask = cv2.remap(mask, map_x, map_y, cv2.INTER_NEAREST,
+                         borderMode=border)
+
+    if mode == "synthetic" and rng.random() < p_distort:
+        # normalized OneOf weights .3/.3/.2/.15
+        r = rng.random() * 0.95
+        if r < 0.30:  # optical (barrel/pincushion, corners fixed)
+            k = rng.uniform(-distort_limit, distort_limit)
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+            dy, dx = yy - cy, xx - cx
+            r2 = (dy * dy + dx * dx) / (cy * cy + cx * cx + 1e-8)
+            scale = (1.0 + k * r2) / (1.0 + k)
+            remap(cy + dy * scale, cx + dx * scale)
+        elif r < 0.60:  # grid distortion (separable piecewise-linear)
+            def axis_map(n):
+                stretch = np.array(
+                    [1.0 + rng.uniform(-distort_limit, distort_limit)
+                     for _ in range(grid_steps)])
+                bounds = np.concatenate(
+                    [[0.0], np.cumsum(stretch / stretch.sum())]) * (n - 1.0)
+                t = np.arange(n, dtype=np.float32) / (n - 1.0) * grid_steps
+                i0 = np.clip(np.floor(t).astype(int), 0, grid_steps - 1)
+                frac = t - i0
+                return (bounds[i0] + (bounds[i0 + 1] - bounds[i0]) * frac
+                        ).astype(np.float32)
+            ys, xs = axis_map(h), axis_map(w)
+            remap(np.broadcast_to(ys[:, None], (h, w)).copy(),
+                  np.broadcast_to(xs[None, :], (h, w)).copy())
+        elif r < 0.80:  # elastic (alpha=1, sigma=25)
+            alpha, sigma = 1.0, 25.0
+            gh = max(2, int(round(h / sigma)))
+            gw = max(2, int(round(w / sigma)))
+            nprng = np.random.default_rng(rng.getrandbits(32))
+            noise = nprng.standard_normal((gh, gw, 2)).astype(
+                np.float32) * alpha
+            disp = cv2.resize(noise, (w, h), interpolation=cv2.INTER_LINEAR)
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            remap(yy + disp[..., 0], xx + disp[..., 1])
+        else:  # perspective (scale 0.05-0.1)
+            s = rng.uniform(0.05, 0.1)
+            nprng = np.random.default_rng(rng.getrandbits(32))
+            corners = np.array(
+                [[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]], np.float32)
+            jitter = nprng.standard_normal((4, 2)).astype(np.float32) * (
+                s * np.array([w, h], np.float32))
+            m = cv2.getPerspectiveTransform(corners, corners + jitter)
+            image = cv2.warpPerspective(
+                image, m, (w, h),
+                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                borderMode=border)
+            mask = cv2.warpPerspective(
+                mask, m, (w, h),
+                flags=cv2.INTER_NEAREST | cv2.WARP_INVERSE_MAP,
+                borderMode=border)
+
+    if rng.random() < p_rotate:
+        ang = rng.uniform(-rotate_limit, rotate_limit)
+        m = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), ang, 1.0)
+        image = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR,
+                               borderMode=border)
+        mask = cv2.warpAffine(mask, m, (w, h), flags=cv2.INTER_NEAREST,
+                              borderMode=border)
+
+    return image, mask
+
+
 class MaskFolderDataset:
     """One `images/` + `masks/` root with a deterministic train/val split."""
 
@@ -295,6 +393,7 @@ class PrefetchLoader:
         num_threads: int = 8,
         prefetch: int = 2,
         random_resized_crop_p: float = 0.0,
+        geometric_mode: Optional[str] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -304,6 +403,10 @@ class PrefetchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.rrc_p = random_resized_crop_p
+        # "regular" | "synthetic": apply host rotation/distortion warps per
+        # sample (see host_geometric); the device pipeline then runs with
+        # device_geometric=False.
+        self.geometric_mode = geometric_mode
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -352,6 +455,11 @@ class PrefetchLoader:
                         imgs[j], masks[j] = _random_resized_crop(
                             imgs[j], masks[j], host_rng
                         )
+            if self.geometric_mode:
+                for j in range(len(imgs)):
+                    imgs[j], masks[j] = host_geometric(
+                        imgs[j], masks[j], host_rng, self.geometric_mode
+                    )
             # Self-profiling (reference `dataset.py:20-31,295-308`): track
             # load times and log memory periodically.
             load_times.append(_time.perf_counter() - t0)

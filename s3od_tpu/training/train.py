@@ -183,10 +183,12 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     val_ds = build_dataset(paths, image_size, "val",
                            float(cfg.dataset.val_split), seed,
                            flux_features_dir=flux_dir)
-    rrc_p = 0.5 if (cfg.dataset.transform_mode != "test" and not is_teacher) else 0.0
+    augmenting = cfg.dataset.transform_mode != "test" and not is_teacher
+    rrc_p = 0.5 if augmenting else 0.0
     train_loader = PrefetchLoader(
         train_ds, global_batch, shuffle=True, drop_last=True, seed=seed,
         num_threads=int(cfg.backend.num_threads), random_resized_crop_p=rrc_p,
+        geometric_mode=cfg.dataset.transform_mode if augmenting else None,
     )
     val_batch = 1 if is_teacher else int(cfg.dataset.val_batch_size) * n_dev
     val_loader = PrefetchLoader(
@@ -235,7 +237,9 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             # Teacher data gets normalization only (`dataset.py:176-178`).
             x = batch["images"].astype(jnp.float32) / 255.0
             return {**batch, "images": normalize_imagenet(x)}
-        x, m = augment_batch(rng, batch["images"], batch["masks"], mode)
+        # Geometric warps already ran on the loader threads (host_geometric).
+        x, m = augment_batch(rng, batch["images"], batch["masks"], mode,
+                             device_geometric=False)
         return {**batch, "images": normalize_imagenet(x), "masks": m}
 
     def eval_pre(rng, batch):
