@@ -78,7 +78,9 @@ def _fwd_kernel(
         lse_ref[0] = (m_scr[:] + jnp.log(l_scr[:]))[:, :1].astype(jnp.float32)
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k, *, want_lse=False):
+def _flash_forward(
+    q, k, v, scale, block_q, block_k, *, want_lse=False, interpret=False
+):
     """q, k, v: (BH, N, D) -> (out, lse) with lse (BH, N, 1) fp32."""
     bh, n, d = q.shape
     n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
@@ -117,6 +119,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, *, want_lse=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v, bias)
     if want_lse:
         return out[:, :n, :], lse[:, :n, :]
@@ -226,7 +229,9 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
+def _flash_backward(
+    q, k, v, out, lse, g, scale, block_q, block_k, *, interpret=False
+):
     """All inputs (BH, N, D); lse (BH, N, 1). Returns (dq, dk, dv)."""
     bh, n, d = q.shape
     blk = max(block_q, block_k)
@@ -264,6 +269,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v, g, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -294,6 +300,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v, g, lse, delta)
 
     return dq[:, :n], dk[:, :n], dv[:, :n]
@@ -305,36 +312,49 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
 
 
 def _pick_blocks(n: int, d: int):
-    """Adaptive block sizes. For the 1024-canvas ViT (N=4101 -> padded 4608)
-    a single K/V block fits VMEM (s-matrix 512x4608 fp32 ~ 9.4MB), turning
-    the online softmax into one pass. Longer sequences stream."""
-    block_q = 512
-    n_pad = -(-n // block_q) * block_q
-    if block_q * n_pad * 4 <= 10 * 1024 * 1024:
+    """Adaptive block sizes. For the 1024-canvas ViT a single K/V block fits
+    VMEM, turning the online softmax into one pass; block_q is the smallest
+    8-multiple covering n in ceil(n/512) blocks, so padding is minimal
+    (N=4101 -> 9 x 456 = 4104 rows/cols instead of 4608: the softmax VPU
+    work that bounds this kernel drops ~21%). Longer sequences stream."""
+    nq = -(-n // 512)
+    block_q = -(-(-(-n // nq)) // 8) * 8
+    n_pad = nq * block_q
+    if block_q * n_pad * 4 <= 8 * 1024 * 1024:
         return block_q, n_pad
-    return block_q, 2048 if n_pad % 2048 == 0 else 512
+    n_pad512 = -(-n // 512) * 512
+    return 512, 2048 if n_pad512 % 2048 == 0 else 512
 
 
 def _bwd_blocks(n: int):
-    """Smaller square blocks for backward (more live scratch per program)."""
-    return 512, 512
+    """Square blocks sized like the forward's q blocks (more live scratch
+    per program), with the same minimal-padding rule."""
+    nq = -(-n // 512)
+    blk = -(-(-(-n // nq)) // 8) * 8
+    return blk, blk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_bhnd(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_bhnd(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret=interpret)
 
 
-def _fwd_rule(q, k, v, scale, block_q, block_k):
-    out, lse = _flash_forward(q, k, v, scale, block_q, block_k, want_lse=True)
+def _fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _flash_forward(
+        q, k, v, scale, block_q, block_k, want_lse=True, interpret=interpret
+    )
     return out, (q, k, v, out, lse)
 
 
-def _bwd_rule(scale, block_q, block_k, res, g):
+def _bwd_rule(scale, block_q, block_k, interpret, res, g):
     q, k, v, out, lse = res
     bq, bk = _bwd_blocks(q.shape[1])
-    dq, dk, dv = _flash_backward(q, k, v, out, lse, g, scale, bq, bk)
+    dq, dk, dv = _flash_backward(
+        q, k, v, out, lse, g, scale, bq, bk, interpret=interpret
+    )
     return dq, dk, dv
+
+
 
 
 _flash_attention_bhnd.defvjp(_fwd_rule, _bwd_rule)
@@ -348,8 +368,19 @@ def flash_attention(
     scale: float,
     block_q: int = 0,
     block_k: int = 0,
+    interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention over (B, N, H, D) tensors; returns (B, N, H, D)."""
+    """Flash attention over (B, N, H, D) tensors; returns (B, N, H, D).
+
+    ``interpret=True`` runs the Pallas kernels in interpreter mode (works on
+    CPU) so the kernel code paths are exercised by the non-TPU test suite.
+
+    Note: a "layout-native" variant consuming token-major (B, N, H*D) via
+    per-head lane slices (to remove the head transposes + pads) was measured
+    SLOWER on v5e (encoder 18.3 -> 26.3 ms/img at 1024px) — Mosaic relayouts
+    per 64-lane head slice and tiny (456x64)@(64x384) matmuls cost more than
+    the ~3ms of copies they remove. See benchmarks/RESULTS.md.
+    """
     b, n, h, d = q.shape
     if block_q == 0 or block_k == 0:
         block_q, block_k = _pick_blocks(n, d)
@@ -358,6 +389,6 @@ def flash_attention(
         return t.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
     out = _flash_attention_bhnd(
-        to_bhnd(q), to_bhnd(k), to_bhnd(v), scale, block_q, block_k
+        to_bhnd(q), to_bhnd(k), to_bhnd(v), scale, block_q, block_k, interpret
     )
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -1,3 +1,9 @@
+from s3od_tpu.parallel.distributed import (
+    global_batch_sharding,
+    init_distributed,
+    make_hybrid_mesh,
+    process_local_batch,
+)
 from s3od_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -8,8 +14,12 @@ from s3od_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
+    "init_distributed",
     "param_shardings",
     "batch_sharding",
+    "global_batch_sharding",
+    "process_local_batch",
     "shard_params",
     "shard_batch",
 ]

@@ -68,8 +68,9 @@ def param_shardings(params, mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch dim sharded over every device (data x fsdp)."""
-    return NamedSharding(mesh, P(("data", "fsdp")))
+    """Batch dim sharded over every mesh axis ([dcn x] data x fsdp)."""
+    axes = tuple(a for a in ("dcn", "data", "fsdp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def shard_params(params, mesh: Mesh):

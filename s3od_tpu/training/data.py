@@ -394,6 +394,7 @@ class PrefetchLoader:
         prefetch: int = 2,
         random_resized_crop_p: float = 0.0,
         geometric_mode: Optional[str] = None,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -407,15 +408,31 @@ class PrefetchLoader:
         # sample (see host_geometric); the device pipeline then runs with
         # device_geometric=False.
         self.geometric_mode = geometric_mode
+        # Multi-host (DCN) data sharding: (process_index, process_count).
+        # Every host shuffles the same global order (seed+epoch) and keeps an
+        # interleaved slice, so hosts stay disjoint and deterministic;
+        # batch_size here is PER-HOST (global_batch / process_count).
+        self.process_shard = process_shard
 
-    def __len__(self) -> int:
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _host_order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        if self.process_shard is not None:
+            pid, pc = self.process_shard
+            # Truncate to a multiple of process_count so every host yields
+            # the same batch count (collectives would deadlock otherwise).
+            order = order[: len(order) - len(order) % pc][pid::pc]
+        return order
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.process_shard is not None:
+            n = n // self.process_shard[1]
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._host_order(epoch)
         n_batches = len(self)
         host_rng = random.Random(self.seed * 1000 + epoch)
 
