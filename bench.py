@@ -49,6 +49,7 @@ def main():
         out, _ = segmentation_forward(
             params, state, x.astype(jnp.bfloat16), cfg,
             training=False, compute_dtype=jnp.bfloat16,
+            serving_fast_output=True,  # NHWC bf16 masks, as the predictor
         )
         return jax.nn.sigmoid(out["pred_masks"]), jax.nn.sigmoid(out["pred_iou"])
 
@@ -64,7 +65,9 @@ def main():
     # we rely on in-order stream execution: enqueue N forwards, read back a
     # scalar of the LAST result (which syncs everything before it), and take
     # the slope between two iteration counts to cancel fixed overheads.
-    reduce = jax.jit(lambda m, i: jnp.sum(i) + jnp.sum(m[:, :, ::64, ::64]))
+    reduce = jax.jit(
+        lambda m, i: jnp.sum(i) + jnp.sum(m[:, ::64, ::64, :].astype(jnp.float32))
+    )
 
     def run(images, n):
         t0 = time.perf_counter()

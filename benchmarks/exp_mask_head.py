@@ -48,15 +48,16 @@ def main():
             conv2d(feat, {"kernel": k_fused, "bias": b_fused}, padding=1)
         )
 
+    _k1 = np.zeros((inter * n_out, n_out), np.float32)
+    _b1 = np.zeros((n_out,), np.float32)
+    for _i, _head in enumerate(mh["heads"]):
+        _k1[_i * inter : (_i + 1) * inter, _i] = np.asarray(
+            _head["conv1"]["kernel"][0, 0, :, 0], np.float32
+        )
+        _b1[_i] = float(_head["conv1"]["bias"][0])
+
     def k1_b1(dtype):
-        k1 = np.zeros((inter * n_out, n_out), np.float32)
-        b1 = np.zeros((n_out,), np.float32)
-        for i, head in enumerate(mh["heads"]):
-            k1[i * inter : (i + 1) * inter, i] = np.asarray(
-                head["conv1"]["kernel"][0, 0, :, 0], np.float32
-            )
-            b1[i] = float(head["conv1"]["bias"][0])
-        return jnp.asarray(k1, dtype), jnp.asarray(b1, dtype)
+        return jnp.asarray(_k1, dtype), jnp.asarray(_b1, dtype)
 
     @jax.jit
     def variant_a(path1):

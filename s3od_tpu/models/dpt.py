@@ -102,11 +102,16 @@ def dpt_head_forward(
     training: bool = False,
     axis_name: Optional[str] = None,
     remat: bool = False,
+    masks_nhwc: bool = False,
 ):
     """tap_features: 4 x (B, N, C) patch tokens. Returns (outputs, new_state).
 
     outputs = {"pred_masks": (B, n_out, H, W), "pred_iou": (B, n_out),
                "features": (B, 8p_h, 8p_w, F) NHWC}
+
+    ``masks_nhwc=True`` keeps pred_masks in the conv-native (B, H, W, n_out)
+    layout — the NCHW transpose costs ~0.8 ms/img in fp32 at 1024px (trace:
+    add_divide_fusion) and the serving path can transpose on host for free.
     """
     ph, pw = patch_hw
     use_bn = cfg.use_bn
@@ -217,7 +222,7 @@ def dpt_head_forward(
     # As a real 1x1 conv op (not a matmul) so XLA keeps the conv-friendly
     # layout of `hidden` — the matmul form forced a 0.7ms relayout copy.
     m = conv2d(hidden, {"kernel": k1[None, None], "bias": b1})
-    pred_masks = m.transpose(0, 3, 1, 2)  # (B, n_out, H, W)
+    pred_masks = m if masks_nhwc else m.transpose(0, 3, 1, 2)  # (B,n,H,W)
 
     return (
         {"pred_masks": pred_masks, "pred_iou": iou, "features": path1},

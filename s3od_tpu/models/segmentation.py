@@ -32,11 +32,17 @@ def segmentation_forward(
     rope_coord_scale: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
     remat: Optional[bool] = None,
+    serving_fast_output: bool = False,
 ) -> Tuple[dict, Optional[dict]]:
     """images: (B, H, W, 3) normalized float. Returns (outputs, new_bn_state).
 
     `remat` defaults to `training` — blocks are checkpointed so the backward
-    pass recomputes activations instead of storing them."""
+    pass recomputes activations instead of storing them.
+
+    `serving_fast_output=True` skips the public fp32-NCHW mask contract:
+    pred_masks stays (B, H, W, n_out) in the compute dtype (the host
+    transposes for free; the fp32 NCHW materialization costs ~0.8 ms/img at
+    1024px). Training and parity tests keep the default."""
     h, w = images.shape[1], images.shape[2]
     patch = cfg.encoder.patch_size
     ph, pw = h // patch, w // patch
@@ -62,9 +68,11 @@ def segmentation_forward(
         training=training,
         axis_name=axis_name,
         remat=remat,
+        masks_nhwc=serving_fast_output,
     )
-    # Keep the public contract in fp32 (masks/iou logits).
-    outputs["pred_masks"] = outputs["pred_masks"].astype(jnp.float32)
+    if not serving_fast_output:
+        # Keep the public contract in fp32 (masks/iou logits).
+        outputs["pred_masks"] = outputs["pred_masks"].astype(jnp.float32)
     outputs["pred_iou"] = outputs["pred_iou"].astype(jnp.float32)
     return outputs, new_state
 
