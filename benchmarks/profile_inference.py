@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--batches", default="1,8")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--trace-batch", type=int, default=8)
+    ap.add_argument("--trace-what", default="full", choices=["full", "encoder"])
     args = ap.parse_args()
 
     import jax
@@ -129,10 +130,13 @@ def main():
         x = jnp.asarray(
             rng.standard_normal((batch, 1024, 1024, 3)).astype(np.float32)
         ).astype(jnp.bfloat16)
-        full(params, state, x)
+        fn = full if args.trace_what == "full" else (
+            lambda p, s, xx: encoder(p, xx)
+        )
+        fn(params, state, x)
 
         def step():
-            out = full(params, state, x)
+            out = fn(params, state, x)
             rb_f(out)
 
         path = capture_trace(step, "/tmp/s3od_trace", iters=3)

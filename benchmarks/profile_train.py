@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--trace", action="store_true")
+    ap.add_argument(
+        "--policy", default=None, choices=[None, "flash", "dots_flash"]
+    )
     args = ap.parse_args()
 
     import jax
@@ -41,7 +44,7 @@ def main():
 
     train_step = make_train_step(
         cfg, loss_module, optimizer, accum_steps=args.accum,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, remat_policy=args.policy,
     )
 
     rng = np.random.default_rng(0)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from s3od_tpu.configs import EncoderConfig
-from s3od_tpu.ops.attention import multi_head_attention
+from s3od_tpu.ops.attention import attn_seq_len, multi_head_attention
 from s3od_tpu.ops.precision import dot_precision
 
 
@@ -107,7 +107,10 @@ def _apply_rope(q, k, cos, sin, n_prefix: int):
     return rot(q), rot(k)
 
 
-def _attention(p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str):
+def _attention(
+    p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str,
+    n_valid: int = 0,
+):
     b, n, _ = x.shape
     h, d = cfg.num_heads, cfg.head_dim
     if "qkv" in p:
@@ -119,7 +122,9 @@ def _attention(p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: s
         k = _linear(x, p["k_proj"]).reshape(b, n, h, d)
         v = _linear(x, p["v_proj"]).reshape(b, n, h, d)
     q, k = _apply_rope(q, k, cos, sin, cfg.num_prefix_tokens)
-    out = multi_head_attention(q, k, v, scale=d**-0.5, impl=attn_impl)
+    out = multi_head_attention(
+        q, k, v, scale=d**-0.5, impl=attn_impl, n_valid=n_valid
+    )
     out = out.reshape(b, n, h * d)
     return _linear(out, p["o_proj"])
 
@@ -132,9 +137,12 @@ def _mlp(p: dict, x: jax.Array, cfg: EncoderConfig) -> jax.Array:
     return _linear(h, p["down_proj"])
 
 
-def vit_block(p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str):
+def vit_block(
+    p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str,
+    n_valid: int = 0,
+):
     h = _layer_norm(x, p["norm1"], cfg.layer_norm_eps)
-    h = _attention(p["attention"], h, cos, sin, cfg, attn_impl)
+    h = _attention(p["attention"], h, cos, sin, cfg, attn_impl, n_valid)
     x = x + h * p["ls1"].astype(x.dtype)
     h = _layer_norm(x, p["norm2"], cfg.layer_norm_eps)
     h = _mlp(p["mlp"], h, cfg)
@@ -154,6 +162,19 @@ def patch_embed(p: dict, images: jax.Array, patch: int) -> jax.Array:
     return jnp.matmul(x, k, precision=dot_precision(x, k)) + p["bias"].astype(x.dtype)
 
 
+def _remat_policy(name: Optional[str]):
+    """None -> save nothing (recompute everything in backward)."""
+    if name is None or name == "none":
+        return None
+    pol = jax.checkpoint_policies
+    names = pol.save_only_these_names("flash_out", "flash_lse")
+    if name == "flash":
+        return names
+    if name == "dots_flash":
+        return pol.save_from_both_policies(pol.dots_saveable, names)
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
 def encoder_forward(
     params: dict,
     images: jax.Array,
@@ -164,6 +185,7 @@ def encoder_forward(
     attn_impl: str = "auto",
     rope_coord_scale: Optional[jax.Array] = None,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
 ) -> List[jax.Array]:
     """Run the encoder, returning patch-token features at each tap.
 
@@ -174,6 +196,10 @@ def encoder_forward(
 
     `remat=True` checkpoints each block (recompute in backward) — required
     for 1024px training to keep activation memory and compile size sane.
+    `remat_policy` trades memory back for speed within each checkpointed
+    block: "flash" saves the flash-attention kernel outputs (out + lse, so
+    the backward never re-runs the forward kernel); "dots_flash" also saves
+    every matmul output (backward recomputes only cheap elementwise ops).
     """
     b, H, W, _ = images.shape
     patch = cfg.patch_size
@@ -191,11 +217,30 @@ def encoder_forward(
 
     cos, sin = rope_cos_sin(h, w, cfg.head_dim, cfg.rope_theta, rope_coord_scale)
 
+    # Pad the sequence ONCE to the flash kernel's block-divisible length
+    # (1024 canvas: 4101 -> 4104) so no per-layer q/k/v pad + output slice
+    # copies are emitted (measured ~10 ms/step at batch 8). Pad tokens are
+    # masked as keys via n_valid, get identity RoPE, and receive exactly-zero
+    # cotangents through the tap slice below — gradients are unchanged.
+    n_valid = x.shape[1]
+    n_run = attn_seq_len(n_valid, x.dtype, attn_impl, cfg.head_dim)
+    if n_run != n_valid:
+        x = jnp.pad(x, ((0, 0), (0, n_run - n_valid), (0, 0)))
+        extra = n_run - n_valid
+        cos = jnp.concatenate(
+            [cos, jnp.ones((extra, cos.shape[1]), cos.dtype)], axis=0
+        )
+        sin = jnp.concatenate(
+            [sin, jnp.zeros((extra, sin.shape[1]), sin.dtype)], axis=0
+        )
+
     import functools
 
-    block_fn = functools.partial(vit_block, cfg=cfg, attn_impl=attn_impl)
+    block_fn = functools.partial(
+        vit_block, cfg=cfg, attn_impl=attn_impl, n_valid=n_valid
+    )
     if remat:
-        block_fn = jax.checkpoint(block_fn)
+        block_fn = jax.checkpoint(block_fn, policy=_remat_policy(remat_policy))
 
     taps = {}
     max_tap = max(tap_layers)
@@ -205,7 +250,7 @@ def encoder_forward(
             taps[i + 1] = x
 
     n_prefix = cfg.num_prefix_tokens
-    return [taps[t][:, n_prefix:, :] for t in tap_layers]
+    return [taps[t][:, n_prefix : n_prefix + h * w, :] for t in tap_layers]
 
 
 # ----------------------------------------------------------------------------

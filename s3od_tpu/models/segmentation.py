@@ -32,12 +32,15 @@ def segmentation_forward(
     rope_coord_scale: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
     remat: Optional[bool] = None,
+    remat_policy: Optional[str] = None,
     serving_fast_output: bool = False,
 ) -> Tuple[dict, Optional[dict]]:
     """images: (B, H, W, 3) normalized float. Returns (outputs, new_bn_state).
 
     `remat` defaults to `training` — blocks are checkpointed so the backward
-    pass recomputes activations instead of storing them.
+    pass recomputes activations instead of storing them. `remat_policy`
+    ("flash" | "dots_flash") selectively saves the expensive intermediates
+    within each checkpointed encoder block — see models/dinov3.py.
 
     `serving_fast_output=True` skips the public fp32-NCHW mask contract:
     pred_masks stays (B, H, W, n_out) in the compute dtype (the host
@@ -58,6 +61,7 @@ def segmentation_forward(
         attn_impl=attn_impl,
         rope_coord_scale=rope_coord_scale,
         remat=remat,
+        remat_policy=remat_policy,
     )
     outputs, new_state = dpt_head_forward(
         params["head"],

@@ -54,7 +54,9 @@ def _fwd_kernel(
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if scale != 1.0:  # callers fold the scale into q; this is a fallback
+        s = s * scale
     # Padding mask as a precomputed additive bias row: one VPU pass instead
     # of iota+compare+select per block (softmax VPU time bounds this kernel).
     s = s + bias_ref[0]
@@ -78,10 +80,42 @@ def _fwd_kernel(
         lse_ref[0] = (m_scr[:] + jnp.log(l_scr[:]))[:, :1].astype(jnp.float32)
 
 
+def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                       scale):
+    """Single K-block specialization (the 1024px ViT path): plain softmax,
+    no online-update scratch traffic (m/l/acc live in registers)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if scale != 1.0:
+        s = s * scale
+    s = s + bias_ref[0]
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
+
+
 def _flash_forward(
-    q, k, v, scale, block_q, block_k, *, want_lse=False, interpret=False
+    q, k, v, scale, block_q, block_k, n_valid, *, want_lse=False,
+    interpret=False,
 ):
-    """q, k, v: (BH, N, D) -> (out, lse) with lse (BH, N, 1) fp32."""
+    """q, k, v: (BH, N, D) -> (out, lse) with lse (BH, N, 1) fp32.
+
+    Keys at positions >= n_valid are masked out (padding). Callers that
+    pre-pad the sequence to a block-divisible length (the encoder does, so
+    no per-layer pad/slice copies are emitted) pass the true token count."""
     bh, n, d = q.shape
     n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
     if n_pad != n:
@@ -91,11 +125,14 @@ def _flash_forward(
     nq = n_pad // block_q
     nk = n_pad // block_k
     bias = jnp.where(
-        jnp.arange(n_pad) < n, 0.0, NEG_INF
+        jnp.arange(n_pad) < n_valid, 0.0, NEG_INF
     ).astype(jnp.float32)[None, :]
 
+    single = nk == 1
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(
+            _fwd_kernel_single if single else _fwd_kernel, scale=scale
+        ),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -111,13 +148,15 @@ def _flash_forward(
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
-        scratch_shapes=[
+        scratch_shapes=[] if single else [
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary")
+            ),
         ),
         interpret=interpret,
     )(q, k, v, bias)
@@ -156,7 +195,9 @@ def _bwd_dq_kernel(
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if scale != 1.0:  # callers fold the scale into q; fallback only
+        s = s * scale
     col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     p = jnp.exp(s - lse)
@@ -173,7 +214,10 @@ def _bwd_dq_kernel(
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        dq_ref[0] = (acc_scr[:] * scale).astype(dq_ref.dtype)
+        acc = acc_scr[:]
+        if scale != 1.0:
+            acc = acc * scale
+        dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
@@ -202,7 +246,9 @@ def _bwd_dkv_kernel(
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if scale != 1.0:
+        s = s * scale
     col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, 1
     )
@@ -225,12 +271,16 @@ def _bwd_dkv_kernel(
 
     @pl.when(iq == nq - 1)
     def _finalize():
-        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        dk = dk_scr[:]
+        if scale != 1.0:
+            dk = dk * scale
+        dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _flash_backward(
-    q, k, v, out, lse, g, scale, block_q, block_k, *, interpret=False
+    q, k, v, out, lse, g, scale, block_q, block_k, n_valid, *,
+    interpret=False,
 ):
     """All inputs (BH, N, D); lse (BH, N, 1). Returns (dq, dk, dv)."""
     bh, n, d = q.shape
@@ -252,7 +302,7 @@ def _flash_backward(
 
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, scale=scale, n_valid=n, block_k=block_k
+            _bwd_dq_kernel, scale=scale, n_valid=n_valid, block_k=block_k
         ),
         grid=(bh, nq, nk),
         in_specs=[
@@ -274,7 +324,7 @@ def _flash_backward(
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, scale=scale, n_valid=n, block_k=block_k
+            _bwd_dkv_kernel, scale=scale, n_valid=n_valid, block_k=block_k
         ),
         grid=(bh, nk, nq),
         in_specs=[
@@ -334,23 +384,34 @@ def _bwd_blocks(n: int):
     return blk, blk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_bhnd(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, scale, block_q, block_k, interpret=interpret)
-
-
-def _fwd_rule(q, k, v, scale, block_q, block_k, interpret):
-    out, lse = _flash_forward(
-        q, k, v, scale, block_q, block_k, want_lse=True, interpret=interpret
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_bhnd(q, k, v, scale, block_q, block_k, n_valid, interpret):
+    return _flash_forward(
+        q, k, v, scale, block_q, block_k, n_valid, interpret=interpret
     )
+
+
+def _fwd_rule(q, k, v, scale, block_q, block_k, n_valid, interpret):
+    out, lse = _flash_forward(
+        q, k, v, scale, block_q, block_k, n_valid, want_lse=True,
+        interpret=interpret,
+    )
+    # Name the kernel outputs so a remat policy can SAVE them: under
+    # jax.checkpoint the backward otherwise re-runs this forward kernel just
+    # to rebuild (out, lse) for the backward kernels. q/k/v residuals are
+    # dot outputs (covered by dots_saveable); out/lse only exist here.
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
-def _bwd_rule(scale, block_q, block_k, interpret, res, g):
+def _bwd_rule(scale, block_q, block_k, n_valid, interpret, res, g):
     q, k, v, out, lse = res
     bq, bk = _bwd_blocks(q.shape[1])
     dq, dk, dv = _flash_backward(
-        q, k, v, out, lse, g, scale, bq, bk, interpret=interpret
+        q, k, v, out, lse, g, scale, bq, bk, n_valid, interpret=interpret
     )
     return dq, dk, dv
 
@@ -358,6 +419,15 @@ def _bwd_rule(scale, block_q, block_k, interpret, res, g):
 
 
 _flash_attention_bhnd.defvjp(_fwd_rule, _bwd_rule)
+
+
+def flash_seq_len(n: int, d: int = 64) -> int:
+    """Sequence length the kernel pads `n` to. Callers that pad ONCE to this
+    length (and pass the true count via `n_valid`) avoid per-layer pad/slice
+    copies — the 1024px encoder does this (s3od_tpu/models/dinov3.py)."""
+    block_q, block_k = _pick_blocks(n, d)
+    blk = max(block_q, block_k)
+    return -(-n // blk) * blk
 
 
 def flash_attention(
@@ -368,9 +438,15 @@ def flash_attention(
     scale: float,
     block_q: int = 0,
     block_k: int = 0,
+    n_valid: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over (B, N, H, D) tensors; returns (B, N, H, D).
+
+    ``n_valid``: number of real tokens; rows beyond it are padding whose
+    keys are masked out (their query rows compute garbage that the caller
+    discards — with zero cotangents, so gradients are unaffected). 0 means
+    all N rows are valid.
 
     ``interpret=True`` runs the Pallas kernels in interpreter mode (works on
     CPU) so the kernel code paths are exercised by the non-TPU test suite.
@@ -384,11 +460,21 @@ def flash_attention(
     b, n, h, d = q.shape
     if block_q == 0 or block_k == 0:
         block_q, block_k = _pick_blocks(n, d)
+    if n_valid == 0:
+        n_valid = n
+
+    # Fold the softmax scale into q: one pass over N*D elements instead of
+    # an N^2 VPU multiply inside every kernel invocation (the kernels are
+    # softmax-VPU-bound). For head_dim 64 the scale is a power of two, so
+    # this is bit-exact even in bf16. Backward kernels see scale=1 and the
+    # q*scale autodiff chain restores dq's scaling.
+    q = q * jnp.asarray(scale, q.dtype)
 
     def to_bhnd(t):
         return t.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
     out = _flash_attention_bhnd(
-        to_bhnd(q), to_bhnd(k), to_bhnd(v), scale, block_q, block_k, interpret
+        to_bhnd(q), to_bhnd(k), to_bhnd(v), 1.0, block_q, block_k,
+        n_valid, interpret,
     )
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

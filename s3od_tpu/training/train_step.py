@@ -62,6 +62,7 @@ def make_train_step(
     accum_steps: int = 1,
     compute_dtype=jnp.float32,
     rope_rescale: bool = True,
+    remat_policy: str | None = None,
     preprocess_fn=None,
     forward_fn=None,
 ):
@@ -84,7 +85,7 @@ def make_train_step(
         return segmentation_forward(
             params, bn_state, micro_batch["images"], cfg,
             training=True, compute_dtype=compute_dtype,
-            rope_coord_scale=rope_scale,
+            rope_coord_scale=rope_scale, remat_policy=remat_policy,
         )
 
     fwd = forward_fn or default_forward

@@ -197,3 +197,80 @@ def test_flash_attention_gradients_match_xla():
     gx = loss(lambda q, k, v: _xla_attention(q, k, v, d**-0.5))
     rel = float(jnp.abs(gf - gx).max() / (jnp.abs(gx).max() + 1e-9))
     assert rel < 2e-2
+
+
+def test_flash_attention_prepadded_n_valid_matches_self_pad():
+    """Caller-pre-padded sequences with n_valid must be bit-identical to the
+    wrapper's own padding (the encoder pre-pads once to avoid per-layer
+    copies, s3od_tpu/models/dinov3.py)."""
+    from s3od_tpu.ops.flash_attention import flash_attention, flash_seq_len
+
+    rng = np.random.default_rng(2)
+    b, n, h, d = 1, 260, 2, 64
+    n_pad = flash_seq_len(n, d)
+    assert n_pad > n
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    pad = ((0, 0), (0, n_pad - n), (0, 0), (0, 0))
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    ref = flash_attention(q, k, v, scale=d**-0.5, interpret=True)
+    got = flash_attention(
+        qp, kp, vp, scale=d**-0.5, n_valid=n, interpret=True
+    )[:, :n]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def gr(fn, *args):
+        return jax.grad(lambda a: jnp.sum(jnp.sin(fn(a))))(args[0])
+
+    gref = gr(lambda a: flash_attention(a, k, v, scale=d**-0.5,
+                                        interpret=True), q)
+    gpad = gr(
+        lambda a: flash_attention(
+            jnp.pad(a, pad), kp, vp, scale=d**-0.5, n_valid=n,
+            interpret=True,
+        )[:, :n],
+        q,
+    )
+    np.testing.assert_allclose(np.asarray(gpad), np.asarray(gref), atol=1e-6)
+
+
+def test_encoder_sequence_padding_is_transparent(monkeypatch):
+    """Force the encoder's pad-once path on CPU (fp32 XLA attention with
+    n_valid masking) and check taps and gradients match the unpadded run."""
+    from s3od_tpu.models import dinov3
+    from s3od_tpu.models.dinov3 import encoder_forward, init_encoder_params
+
+    from s3od_tpu.configs import EncoderConfig
+
+    enc = EncoderConfig(
+        hidden_size=64, num_layers=2, num_heads=2, intermediate_size=128,
+        patch_size=16, num_register_tokens=4, rope_theta=100.0,
+    )
+    params = init_encoder_params(jax.random.key(0), enc)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+
+    def taps_sum(p, xx):
+        taps = encoder_forward(p, xx, enc, [1, 2])
+        return taps, sum(jnp.sum(jnp.sin(t)) for t in taps)
+
+    ref_taps, _ = taps_sum(params, x)
+    gref = jax.grad(lambda p: taps_sum(p, x)[1])(params)
+
+    monkeypatch.setattr(
+        dinov3, "attn_seq_len", lambda n, dtype, impl, hd: n + 7
+    )
+    got_taps, _ = taps_sum(params, x)
+    ggot = jax.grad(lambda p: taps_sum(p, x)[1])(params)
+
+    for a, b in zip(ref_taps, got_taps):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gref),
+        jax.tree_util.tree_leaves_with_path(ggot),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(pa)
+        )
