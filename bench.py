@@ -100,6 +100,35 @@ def main():
     print(
         f"best: {best:.1f} img/s at batch {best_batch}", file=sys.stderr
     )
+
+    # Product-path throughput (stderr, informational): the full
+    # remove_background pipeline — cv2 letterbox, device forward, unpad +
+    # antialiased host resize, RGBA — via the pipelined stream API, on mixed
+    # real-world image sizes. The reference never measures this span.
+    try:
+        from s3od_tpu.predictor import BackgroundRemoval
+
+        pred = BackgroundRemoval.from_params(
+            params, state, cfg, dtype="bfloat16"
+        )
+        sizes = [(1080, 1920), (768, 1024), (1365, 2048), (720, 540)]
+        imgs = [
+            rng.integers(0, 255, s + (3,), dtype=np.uint8)
+            for s in (sizes * 4)[:12]
+        ]
+        list(pred.remove_background_stream(imgs[:2]))  # warm both paths
+        t0 = time.perf_counter()
+        n_done = sum(1 for _ in pred.remove_background_stream(imgs))
+        dt_e2e = time.perf_counter() - t0
+        print(
+            f"end-to-end product path: {n_done / dt_e2e:.1f} img/s "
+            f"({dt_e2e / n_done * 1000:.1f} ms/img incl. host pre/post)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # never fail the bench on the info line
+        print(f"e2e measurement skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -35,6 +35,19 @@ from s3od_tpu.ops.precision import dot_precision
 from s3od_tpu.ops.resize import resize_bilinear
 
 
+# Fused-tail v1 measured SLOWER than the XLA path on v5e (6.68 vs 4.35 ms
+# standalone at 1024px — Mosaic inserts a sublane relayout for every
+# unaligned W-shift slice, 27 per tile). Gate stays off until a version
+# beats XLA; see benchmarks/exp_mask_tail.py and ops/mask_tail.py.
+MASK_TAIL_FUSED = False
+
+
+def _mask_tail_available() -> bool:
+    from s3od_tpu.ops.attention import _flash_available
+
+    return MASK_TAIL_FUSED and _flash_available()
+
+
 def _residual_conv_unit(
     p: dict,
     s: Optional[dict],
@@ -192,36 +205,63 @@ def dpt_head_forward(
     # decomposition here (the interleave's layout copies outweigh the 4x MAC
     # saving on v5e).
     feat = conv_transpose2d(feat, mh["up_deconv"], stride=2, padding=1)
-    feat = jax.nn.relu(feat)
-    feat = conv2d(feat, mh["up_conv"], padding=1)
-    feat = jax.nn.relu(feat)
     target = (ph * cfg.encoder.patch_size, pw * cfg.encoder.patch_size)
-    # At any canvas size feat is already at target (8p -> convT x2 = 16p), so
-    # this antialiased resize (`model.py:457-459`) is a no-op; kept for safety.
-    feat = resize_bilinear(feat, target, antialias=True)
 
     # The reference runs 3 independent branch convs over the same features
     # (`model.py:438-453,462-466`); fusing their 3x3 kernels into ONE conv
     # reads the full-res feature map once instead of three times.
     k_fused = jnp.concatenate([h["conv0"]["kernel"] for h in mh["heads"]], axis=-1)
     b_fused = jnp.concatenate([h["conv0"]["bias"] for h in mh["heads"]])
-    hidden = jax.nn.relu(
-        conv2d(feat, {"kernel": k_fused, "bias": b_fused}, padding=1)
-    )
     inter = mh["heads"][0]["conv0"]["kernel"].shape[-1]
     n_out = len(mh["heads"])
     # Single block-diagonal 1x1 over the concatenated branches: one pass,
     # no per-branch slices.
-    k1 = jnp.zeros((inter * n_out, n_out), hidden.dtype)
-    b1 = jnp.zeros((n_out,), hidden.dtype)
+    k1 = jnp.zeros((inter * n_out, n_out), feat.dtype)
+    b1 = jnp.zeros((n_out,), feat.dtype)
     for i, head in enumerate(mh["heads"]):
         k1 = k1.at[i * inter : (i + 1) * inter, i].set(
-            head["conv1"]["kernel"][0, 0, :, 0].astype(hidden.dtype)
+            head["conv1"]["kernel"][0, 0, :, 0].astype(feat.dtype)
         )
-        b1 = b1.at[i].set(head["conv1"]["bias"][0].astype(hidden.dtype))
-    # As a real 1x1 conv op (not a matmul) so XLA keeps the conv-friendly
-    # layout of `hidden` — the matmul form forced a 0.7ms relayout copy.
-    m = conv2d(hidden, {"kernel": k1[None, None], "bias": b1})
+        b1 = b1.at[i].set(head["conv1"]["bias"][0].astype(feat.dtype))
+
+    # Serving fast path: the whole tail (ReLU -> 3x3 -> ReLU -> fused 3x3
+    # -> ReLU -> block-diag 1x1) as ONE Pallas kernel over row slabs —
+    # full-res intermediates never round-trip HBM (s3od_tpu/ops/mask_tail.py).
+    # The antialiased resize below is a no-op exactly when feat is already
+    # at target (8p -> convT x2 = 16p at every canvas), which is also the
+    # condition for the fused path.
+    tr = next(
+        (t for t in (16, 8) if feat.shape[1] % t == 0 and feat.shape[2] % t == 0),
+        0,
+    )
+    use_fused = (
+        masks_nhwc
+        and not training
+        and tr > 0
+        and (feat.shape[1], feat.shape[2]) == target
+        and _mask_tail_available()
+    )
+    if use_fused:
+        from s3od_tpu.ops.mask_tail import mask_tail
+
+        m = mask_tail(
+            feat,
+            mh["up_conv"]["kernel"], mh["up_conv"]["bias"],
+            k_fused, b_fused, k1, b1, tr=tr,
+        )
+    else:
+        feat = jax.nn.relu(feat)
+        feat = conv2d(feat, mh["up_conv"], padding=1)
+        feat = jax.nn.relu(feat)
+        # At any canvas size feat is already at target, so this antialiased
+        # resize (`model.py:457-459`) is a no-op; kept for safety.
+        feat = resize_bilinear(feat, target, antialias=True)
+        hidden = jax.nn.relu(
+            conv2d(feat, {"kernel": k_fused, "bias": b_fused}, padding=1)
+        )
+        # As a real 1x1 conv op (not a matmul) so XLA keeps the conv-friendly
+        # layout of `hidden` — the matmul form forced a 0.7ms relayout copy.
+        m = conv2d(hidden, {"kernel": k1[None, None], "bias": b1})
     pred_masks = m if masks_nhwc else m.transpose(0, 3, 1, 2)  # (B,n,H,W)
 
     return (
@@ -333,3 +373,61 @@ def init_dpt_params(key: jax.Array, cfg: SegmentationConfig):
         else None
     )
     return params, state
+
+
+# ----------------------------------------------------------------------------
+# Inference-time BatchNorm folding
+# ----------------------------------------------------------------------------
+
+
+def fold_bn_inference(params: dict, state: Optional[dict],
+                      cfg: SegmentationConfig):
+    """Fold the RCU BatchNorms into their preceding convs for serving.
+
+    Eval-mode BN is an affine per-channel transform, so
+    BN(conv(x, W) + b) == conv(x, W * s) + (b - mean) * s + beta with
+    s = gamma / sqrt(var + eps). Returns (params', state'=None, cfg') where
+    cfg'.use_bn is False — the BN passes (two per RCU at up to 512x512x256)
+    disappear from the serving graph entirely. Exact, not approximate.
+
+    Matches torch BN eval semantics (`src/s3od/model.py:301-346` RCUs with
+    use_bn=True); training must keep the unfolded params.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    if not cfg.use_bn or state is None:
+        return params, state, cfg
+
+    eps = 1e-5
+
+    def fold_one(conv_p, bn_p, bn_s):
+        gamma = np.asarray(bn_p["weight"], np.float64)
+        beta = np.asarray(bn_p["bias"], np.float64)
+        mean = np.asarray(bn_s["mean"], np.float64)
+        var = np.asarray(bn_s["var"], np.float64)
+        s = gamma / np.sqrt(var + eps)
+        w = np.asarray(conv_p["kernel"], np.float64) * s  # (kh,kw,ci,co)*co
+        b = (np.asarray(conv_p["bias"], np.float64) - mean) * s + beta
+        dt = np.asarray(conv_p["kernel"]).dtype
+        return {"kernel": jnp.asarray(w.astype(dt)),
+                "bias": jnp.asarray(b.astype(dt))}
+
+    new_head = dict(params["head"])
+    for rn in ("refinenet1", "refinenet2", "refinenet3", "refinenet4"):
+        rn_p = dict(new_head[rn])
+        rn_s = state[rn]
+        for rcu in ("rcu1", "rcu2"):
+            rcu_p = dict(rn_p[rcu])
+            rcu_s = rn_s[rcu]
+            for conv, bn in (("conv1", "bn1"), ("conv2", "bn2")):
+                rcu_p[conv] = fold_one(rcu_p[conv], rcu_p[bn], rcu_s[bn])
+                rcu_p.pop(bn)
+            rn_p[rcu] = rcu_p
+        new_head[rn] = rn_p
+
+    new_params = dict(params)
+    new_params["head"] = new_head
+    new_cfg = dataclasses.replace(cfg, use_bn=False)
+    return new_params, None, new_cfg

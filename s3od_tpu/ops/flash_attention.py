@@ -171,8 +171,8 @@ def _flash_forward(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, acc_scr,
-    *, scale, n_valid, block_k,
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, bias_ref, dq_ref,
+    acc_scr, *, scale,
 ):
     """Accumulate dq for one q block over key blocks.
 
@@ -198,8 +198,9 @@ def _bwd_dq_kernel(
     )
     if scale != 1.0:  # callers fold the scale into q; fallback only
         s = s * scale
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    # Precomputed -inf bias row for padded keys: one VPU add instead of
+    # iota+compare+select per block (same trick as the forward kernel).
+    s = s + bias_ref[0]
     p = jnp.exp(s - lse)
 
     gv = jax.lax.dot_general(
@@ -221,8 +222,8 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr, *, scale, n_valid, block_k,
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, bias_ref, dk_ref,
+    dv_ref, dk_scr, dv_scr, *, scale,
 ):
     """Accumulate (dk, dv) for one key block over query blocks.
 
@@ -249,10 +250,7 @@ def _bwd_dkv_kernel(
     )
     if scale != 1.0:
         s = s * scale
-    col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, 1
-    )
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    s = s + bias_ref[0]
     p = jnp.exp(s - lse)  # (bq, bk)
 
     dv_scr[:] += jax.lax.dot_general(
@@ -299,11 +297,14 @@ def _flash_backward(
 
     nq = n_pad // block_q
     nk = n_pad // block_k
+    # (nk, 1, block_k) so each program's block is full in the minor dims
+    # (Mosaic rejects partial non-128-multiple minor blocks like (1, 456)).
+    bias = jnp.where(
+        jnp.arange(n_pad) < n_valid, 0.0, NEG_INF
+    ).astype(jnp.float32).reshape(nk, 1, block_k)
 
     dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel, scale=scale, n_valid=n_valid, block_k=block_k
-        ),
+        functools.partial(_bwd_dq_kernel, scale=scale),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -312,6 +313,7 @@ def _flash_backward(
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
@@ -320,12 +322,10 @@ def _flash_backward(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, g, lse, delta)
+    )(q, k, v, g, lse, delta, bias)
 
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, scale=scale, n_valid=n_valid, block_k=block_k
-        ),
+        functools.partial(_bwd_dkv_kernel, scale=scale),
         grid=(bh, nk, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
@@ -334,6 +334,7 @@ def _flash_backward(
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
@@ -351,7 +352,7 @@ def _flash_backward(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, g, lse, delta)
+    )(q, k, v, g, lse, delta, bias)
 
     return dq[:, :n], dk[:, :n], dv[:, :n]
 

@@ -266,6 +266,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         mcfg, loss_module, optimizer, accum_steps=accum,
         compute_dtype=compute_dtype, preprocess_fn=train_pre,
         forward_fn=fwd_train,
+        remat_policy=cfg.backend.get("remat_policy"),
     )
     eval_step = make_eval_step(
         mcfg, loss_module, compute_dtype=compute_dtype, preprocess_fn=eval_pre,

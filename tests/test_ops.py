@@ -274,3 +274,22 @@ def test_encoder_sequence_padding_is_transparent(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(pa)
         )
+
+
+@pytest.mark.parametrize("shape", [(1, 32, 64), (2, 48, 32)])
+def test_mask_tail_kernel_matches_reference(shape):
+    """Fused mask-head tail Pallas kernel (interpret mode) vs the XLA path,
+    including the zero-pad border semantics of both 'same' convs."""
+    from s3od_tpu.ops.mask_tail import mask_tail, mask_tail_reference
+
+    rng = np.random.default_rng(3)
+    B, H, W = shape
+    C, M, N = 64, 96, 3
+    mk = lambda s, sc: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    x = mk((B, H, W, C), 0.5)
+    w1, b1 = mk((3, 3, C, C), 0.05), mk((C,), 0.1)
+    w0, b0 = mk((3, 3, C, M), 0.05), mk((M,), 0.1)
+    k1, bk = mk((M, N), 0.1), mk((N,), 0.1)
+    ref = mask_tail_reference(x, w1, b1, w0, b0, k1, bk)
+    got = mask_tail(x, w1, b1, w0, b0, k1, bk, tr=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)

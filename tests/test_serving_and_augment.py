@@ -122,3 +122,30 @@ def test_slope_time_and_trace_summary(tmp_path):
     path = capture_trace(lambda: float(f(x)[0, 0]), str(tmp_path / "tr"), iters=2)
     summary = summarize_trace(path, iters=2)
     assert summary["total_ms"] >= 0 and isinstance(summary["by_category"], list)
+
+
+def test_remove_background_stream_matches_single(circle_image):
+    """Pipelined stream path: ordered results identical to one-at-a-time."""
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    pred = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+    img, _ = circle_image
+    rng = np.random.default_rng(0)
+    images = [
+        img,
+        (rng.random((90, 130, 3)) * 255).astype(np.uint8),
+        (rng.random((140, 100, 3)) * 255).astype(np.uint8),
+        img,
+        (rng.random((64, 64, 3)) * 255).astype(np.uint8),
+    ]
+    streamed = list(pred.remove_background_stream(images, depth=2))
+    assert len(streamed) == len(images)
+    for im, res in zip(images, streamed):
+        ref = pred.remove_background(im)
+        np.testing.assert_allclose(
+            res.predicted_mask, ref.predicted_mask, atol=1e-6
+        )
+        np.testing.assert_allclose(res.all_ious, ref.all_ious, atol=1e-6)
+        assert res.rgba_image.size == ref.rgba_image.size
