@@ -94,11 +94,16 @@ class InferenceServer:
             if not items:
                 continue
             images = [it[0] for it in items]
-            # Pad to the fixed max_batch so the device sees ONE compiled
-            # shape regardless of how many requests arrived (variable batch
-            # sizes would trigger a compile per size).
+            # Pad to the smallest power-of-two bucket that fits, so light
+            # traffic runs small fast batches (batch-1 is the fastest
+            # per-image config on v5e) while the compiled-shape count stays
+            # O(log max_batch).
             n_real = len(images)
-            while len(images) < self.max_batch:
+            bucket = 1
+            while bucket < n_real:
+                bucket *= 2
+            bucket = min(bucket, self.max_batch)
+            while len(images) < bucket:
                 images.append(images[-1])
             try:
                 results = self.predictor.remove_background_batch(images)[:n_real]

@@ -46,10 +46,19 @@ class CheckpointManager:
         return self._ckptr
 
     def _save_tree(self, path: Path, tree):
+        # Wait for the PREVIOUS async save before touching the filesystem,
+        # not for this one: the ~10s orbax write then overlaps the next
+        # epoch's compute instead of stalling the train loop (measured 10s
+        # of a 16s epoch on the 224px demo run).
+        self.ckptr.wait_until_finished()
         if path.exists():
             shutil.rmtree(path)
         self.ckptr.save(path.resolve(), jax.device_get(tree))
-        self.ckptr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has finished."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
 
     def save(self, state, *, epoch: int, metrics: Dict[str, float]) -> None:
         """Save `last` always; keep top-k by the monitored metric."""
@@ -84,6 +93,7 @@ class CheckpointManager:
 
     def restore(self, state, which: str = "last"):
         """Restore into the structure of `state` (same optimizer config)."""
+        self.wait()  # a background save of the same path may be in flight
         if which == "best":
             if not self.index["best"]:
                 raise FileNotFoundError("no best checkpoint recorded")
@@ -111,6 +121,7 @@ class CheckpointManager:
 
     def export_inference(self, state, out_path: str) -> None:
         """Weights-only export for `BackgroundRemoval` (native .npz)."""
+        self.wait()  # train() calls this last: drain the async save queue
         from s3od_tpu.convert import save_native
 
         save_native(out_path, jax.device_get(state.params),

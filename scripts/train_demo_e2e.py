@@ -32,6 +32,8 @@ def main():
                          "split). Raised vs the fine-tune default 1e-5 "
                          "because the demo trains from scratch.")
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--loss", default="focal_iou",
+                    choices=["focal_iou", "bce_iou_ssim"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (mechanics dry-run)")
     args = ap.parse_args()
@@ -66,6 +68,7 @@ def main():
     metrics = train([
         "backend=cpu" if args.cpu else "backend=1chip",
         "dataset=duts",
+        f"loss={args.loss}",
         f"data_dir={data_dir}",
         "dataset.paths=[demo]",
         "dataset.test_datasets=[]",

@@ -31,6 +31,9 @@ def test_topk_rotation_and_restore(tmp_path, state):
                         opt_state=ts.opt_state,
                         step=jnp.asarray(epoch, jnp.int32))
         mgr.save(ts, epoch=epoch, metrics={"val_dice": s})
+    # Saves are async (the orbax write overlaps the next epoch's compute);
+    # drain before inspecting the filesystem.
+    mgr.wait()
     # top-2 kept: epochs 3 (0.7) and 1 (0.5)
     kept = [e["epoch"] for e in mgr.index["best"]]
     assert kept == [3, 1]
