@@ -22,11 +22,17 @@ def hold_cosine_schedule(
     max_epochs: int = 200,
     hold_epochs: int = 30,
     eta_min: float = 1e-6,
+    warmup_epochs: float = 0.0,
 ):
     """Constant for `hold_epochs`, then cosine from base_lr to eta_min.
 
     The reference steps its scheduler per epoch; we evaluate the same curve at
     (fractional) epoch = step / steps_per_epoch.
+
+    `warmup_epochs` prepends a linear 0 -> base_lr ramp (per STEP, not per
+    epoch). The reference recipe never warms up because it always fine-tunes
+    a pretrained encoder; from-scratch runs blow up within ~20 steps without
+    it (all-foreground logit saturation, see scripts/train_demo_e2e.py).
     """
 
     def fn(step):
@@ -35,7 +41,11 @@ def hold_cosine_schedule(
             (epoch - hold_epochs) / max(1, max_epochs - hold_epochs), 0.0, 1.0
         )
         cos = eta_min + (base_lr - eta_min) * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
-        return jnp.where(epoch < hold_epochs, base_lr, cos)
+        lr = jnp.where(epoch < hold_epochs, base_lr, cos)
+        if warmup_epochs > 0:
+            warm_steps = warmup_epochs * steps_per_epoch
+            lr = lr * jnp.clip((step + 1.0) / warm_steps, 0.0, 1.0)
+        return lr
 
     return fn
 
@@ -83,6 +93,7 @@ def make_optimizer(
     hold_epochs: int = 30,
     eta_min: float = 1e-6,
     grad_clip: Optional[float] = None,
+    warmup_epochs: float = 0.0,
 ) -> optax.GradientTransformation:
     """Two-group AdamW over the {'encoder': ..., 'head': ...} param pytree."""
 
@@ -93,6 +104,7 @@ def make_optimizer(
             max_epochs=max_epochs,
             hold_epochs=hold_epochs,
             eta_min=eta_min,
+            warmup_epochs=warmup_epochs,
         )
         tx = optax.adamw(
             learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,

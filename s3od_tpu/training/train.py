@@ -209,6 +209,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     else:
         mcfg, params, bn_state = build_model(cfg, jax.random.key(seed))
         teacher_cfg = None
+    grad_clip = cfg.optimizer.get("grad_clip")
     optimizer = make_optimizer(
         float(cfg.optimizer.lr),
         head_lr_mult=float(cfg.optimizer.head_lr_mult),
@@ -217,6 +218,8 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         max_epochs=int(cfg.backend.max_epochs),
         hold_epochs=int(cfg.scheduler.hold_epochs),
         eta_min=float(cfg.scheduler.eta_min),
+        grad_clip=float(grad_clip) if grad_clip is not None else None,
+        warmup_epochs=float(cfg.scheduler.get("warmup_epochs", 0.0)),
     )
     state = TrainState.create(params, bn_state, optimizer)
     state = TrainState(

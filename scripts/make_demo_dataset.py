@@ -42,24 +42,26 @@ def _background(rng, h, w):
     return np.clip(base + rng.normal(0, 18, (h, w, 3)), 0, 255)
 
 
-def _shape_mask(rng, h, w):
+def _shape_mask(rng, h, w, obj_scale=1.0):
     yy, xx = np.mgrid[0:h, 0:w]
     mask = np.zeros((h, w), bool)
     n_parts = rng.integers(1, 4)
     cy0, cx0 = rng.uniform(0.3, 0.7) * h, rng.uniform(0.3, 0.7) * w
+    s = obj_scale
     for _ in range(n_parts):
         cy = cy0 + rng.normal(0, 0.08) * h
         cx = cx0 + rng.normal(0, 0.08) * w
         kind = rng.integers(0, 2)
         if kind == 0:  # rotated ellipse
-            ry, rx = rng.uniform(0.08, 0.22) * h, rng.uniform(0.08, 0.22) * w
+            ry = rng.uniform(0.08, 0.22) * h * s
+            rx = rng.uniform(0.08, 0.22) * w * s
             th = rng.uniform(0, np.pi)
             y, x = yy - cy, xx - cx
             yr = y * np.cos(th) - x * np.sin(th)
             xr = y * np.sin(th) + x * np.cos(th)
             mask |= (yr / ry) ** 2 + (xr / rx) ** 2 <= 1
         else:  # convex polygon (random half-plane intersection around center)
-            r = rng.uniform(0.1, 0.24) * min(h, w)
+            r = rng.uniform(0.1, 0.24) * min(h, w) * s
             poly = np.ones((h, w), bool)
             for ang in np.linspace(0, 2 * np.pi, rng.integers(4, 8), endpoint=False):
                 d = rng.uniform(0.7, 1.0) * r
@@ -69,10 +71,10 @@ def _shape_mask(rng, h, w):
     return mask
 
 
-def make_sample(rng, size):
+def make_sample(rng, size, obj_scale=1.0):
     h = w = size
     img = _background(rng, h, w)
-    mask = _shape_mask(rng, h, w)
+    mask = _shape_mask(rng, h, w, obj_scale)
     # Object coloring: shifted hue/brightness + its own texture.
     obj_color = rng.uniform(0, 255, 3)
     tex = rng.normal(0, 12, (h, w, 1))
@@ -92,6 +94,10 @@ def main():
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--obj-scale", type=float, default=1.0,
+                    help="object radius multiplier (~13%% foreground at 1.0; "
+                         "~30%% at 1.6 — a friendlier BCE class balance for "
+                         "from-scratch demo runs)")
     args = ap.parse_args()
 
     out = Path(args.out_dir)
@@ -99,7 +105,7 @@ def main():
     (out / "masks").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     for i in range(args.n):
-        img, mask = make_sample(rng, args.size)
+        img, mask = make_sample(rng, args.size, args.obj_scale)
         Image.fromarray(img).save(out / "images" / f"{i:05d}.png")
         Image.fromarray(mask).save(out / "masks" / f"{i:05d}.png")
     print(f"wrote {args.n} pairs under {out}")

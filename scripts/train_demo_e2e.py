@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--loss", default="focal_iou",
                     choices=["focal_iou", "bce_iou_ssim"])
+    ap.add_argument("--head-lr-mult", type=float, default=10.0)
+    ap.add_argument("--model", default="dinob", choices=["dinos", "dinob", "dinol"])
+    ap.add_argument("--transform-mode", default="regular",
+                    choices=["test", "regular", "synthetic"],
+                    help="'test' disables augmentation — from-scratch runs "
+                         "on the color-grouping demo data stall under color "
+                         "jitter (the object's color cue is the signal)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (mechanics dry-run)")
     args = ap.parse_args()
@@ -68,14 +75,20 @@ def main():
     metrics = train([
         "backend=cpu" if args.cpu else "backend=1chip",
         "dataset=duts",
+        f"model={args.model}",
         f"loss={args.loss}",
         f"data_dir={data_dir}",
         "dataset.paths=[demo]",
         "dataset.test_datasets=[]",
         f"dataset.image_size={args.image_size}",
+        f"dataset.transform_mode={args.transform_mode}",
         f"backend.max_epochs={args.epochs}",
         "backend.remat_policy=flash",
         f"optimizer.lr={args.lr}",
+        f"optimizer.head_lr_mult={args.head_lr_mult}",
+        "optimizer.grad_clip=1.0",
+        "scheduler.warmup_epochs=8",
+        "backend.precision=32",
         f"base_dir={exp_dir}",
         "experiment_name=demo",
     ])
