@@ -68,14 +68,14 @@ def sample_rope_coord_scale(key: jax.Array, rescale: float) -> jax.Array:
 
 
 def _layer_norm(x: jax.Array, p: dict, eps: float) -> jax.Array:
-    # fp32 statistics regardless of compute dtype (XLA fuses the converts
-    # into the reductions; a hand-written bf16 fast path measured no faster).
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    # fp32 statistics regardless of compute dtype. On TPU for bf16 the
+    # row-block Pallas kernel runs (ops/layernorm.py — the XLA
+    # convert_reduce fusions re-stream fp32 intermediates through HBM once
+    # the batch-8 residual stream outgrows VMEM, 25 ms/step at 1024px);
+    # fp32 exact mode and CPU keep the XLA formula.
+    from s3od_tpu.ops.layernorm import layer_norm
+
+    return layer_norm(x, p["weight"], p["bias"], eps)
 
 
 def _linear(x: jax.Array, p: dict) -> jax.Array:

@@ -276,6 +276,131 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, bias_ref,
+    dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr, *, scale,
+):
+    """One pass produces dq AND (dk, dv): s, p and g@v^T are computed once
+    per (i, j) block pair instead of once per kernel (5 MXU ops/pair vs 7
+    for the split dq + dkv kernels), and q/k/v/g are read from HBM once.
+
+    Grid (bh, i, j), j innermost. dq accumulates over j in a block scratch;
+    dk/dv accumulate into a full-sequence VMEM scratch (nk, block_k, d)
+    that persists across the sequential i sweeps — zeroed at i==0, flushed
+    to the output blocks on the final sweep. The scratch is what gates this
+    kernel to moderate N (see _flash_backward); longer sequences use the
+    split kernels.
+    """
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nq = pl.num_programs(1)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init_dq():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(i == 0)
+    def _init_dkv():
+        dk_scr[j] = jnp.zeros_like(dk_scr[j])
+        dv_scr[j] = jnp.zeros_like(dv_scr[j])
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    lse = lse_ref[0]       # (bq, 1) fp32
+    delta = delta_ref[0]   # (bq, 1) fp32
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if scale != 1.0:  # callers fold the scale into q; fallback only
+        s = s * scale
+    s = s + bias_ref[0]
+    p = jnp.exp(s - lse)  # (bq, bk)
+
+    gv = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    ds = p * (gv - delta)
+
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_scr[j] += jax.lax.dot_general(
+        p.astype(g.dtype), g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_scr[j] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nk - 1)
+    def _finalize_dq():
+        acc = dq_scr[:]
+        if scale != 1.0:
+            acc = acc * scale
+        dq_ref[0] = acc.astype(dq_ref.dtype)
+
+    @pl.when(i == nq - 1)
+    def _finalize_dkv():
+        dk = dk_scr[j]
+        if scale != 1.0:
+            dk = dk * scale
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[j].astype(dv_ref.dtype)
+
+
+# dk/dv scratch budget for the fused backward: (2 tensors) x n_pad x d x fp32.
+_FUSED_BWD_SCRATCH_LIMIT = 6 * 1024 * 1024
+
+
+def _flash_backward_fused(
+    q, k, v, g, lse, delta, bias, scale, block_q, block_k, *, interpret,
+):
+    bh, n_pad, d = q.shape
+    nq = n_pad // block_q
+    nk = n_pad // block_k
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((nk, block_k, d), jnp.float32),
+            pltpu.VMEM((nk, block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta, bias)
+    return dq, dk, dv
+
+
 def _flash_backward(
     q, k, v, out, lse, g, scale, block_q, block_k, n_valid, *,
     interpret=False,
@@ -302,6 +427,13 @@ def _flash_backward(
     bias = jnp.where(
         jnp.arange(n_pad) < n_valid, 0.0, NEG_INF
     ).astype(jnp.float32).reshape(nk, 1, block_k)
+
+    if 2 * n_pad * d * 4 <= _FUSED_BWD_SCRATCH_LIMIT:
+        dq, dk, dv = _flash_backward_fused(
+            q, k, v, g, lse, delta, bias, scale, block_q, block_k,
+            interpret=interpret,
+        )
+        return dq[:, :n], dk[:, :n], dv[:, :n]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale),

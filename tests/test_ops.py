@@ -293,3 +293,45 @@ def test_mask_tail_kernel_matches_reference(shape):
     ref = mask_tail_reference(x, w1, b1, w0, b0, k1, bk)
     got = mask_tail(x, w1, b1, w0, b0, k1, bk, tr=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_layernorm_interpret_matches_xla():
+    """Row-block Pallas LayerNorm (interpret mode) vs the fp32-stat XLA
+    formula: forward values and (dx, dw, db) gradients."""
+    from s3od_tpu.ops.layernorm import _xla_layer_norm, layer_norm
+
+    rng = np.random.default_rng(0)
+    B, N, C = 2, 456, 256
+    x = jnp.asarray(rng.standard_normal((B, N, C)) * 2 + 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+
+    ref = _xla_layer_norm(x, w, b, 1e-5)
+    got = layer_norm(x, w, b, 1e-5, impl="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def loss(fn):
+        def f(x, w, b):
+            y = fn(x, w, b)
+            return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+        return jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+
+    gref = loss(lambda x, w, b: _xla_layer_norm(x, w, b, 1e-5))
+    ggot = loss(
+        lambda x, w, b: layer_norm(x, w, b, 1e-5, impl="pallas",
+                                   interpret=True)
+    )
+    for a, c in zip(gref, ggot):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), atol=1e-4, rtol=1e-5
+        )
+
+
+def test_pallas_layernorm_row_block_picker():
+    from s3od_tpu.ops.layernorm import _pick_rows
+
+    assert _pick_rows(4104) == 456      # 1024px ViT token count
+    assert _pick_rows(8 * 4104) == 456
+    assert _pick_rows(512) == 512
+    assert _pick_rows(131) == 0         # prime: no block, XLA fallback
