@@ -132,6 +132,11 @@ def _attention(
 def _mlp(p: dict, x: jax.Array, cfg: EncoderConfig) -> jax.Array:
     h = _linear(x, p["up_proj"])
     h = jax.nn.gelu(h, approximate=False)
+    # Keep the erf GELU OUT of the down-projection's fusion: XLA otherwise
+    # fuses it into the matmul prologue where the VPU transcendental work
+    # serializes with the MXU (down-proj at 69 vs 169 TFLOP/s in the batch-8
+    # trace; the barrier is worth ~24% on the MLP pair — exp_mlp.py).
+    h = jax.lax.optimization_barrier(h)
     if cfg.use_gated_mlp:
         h = h * _linear(x, p["gate_up"])  # pragma: no cover (base configs: off)
     return _linear(h, p["down_proj"])
