@@ -252,6 +252,7 @@ class BackgroundRemoval:
         threshold: float = 0.5,
         depth: int = 3,
         post_workers: int = 2,
+        pre_workers: int = 2,
     ):
         """Pipelined product-path inference: yields `RemovalResult`s in order
         while overlapping host preprocess, device compute and host
@@ -261,9 +262,11 @@ class BackgroundRemoval:
         `depth` device steps stay in flight (dispatch is async; the readback
         of step i syncs only work enqueued before it), and postprocessing
         (unpad + antialiased resize + RGBA, numpy/BLAS — releases the GIL)
-        runs on `post_workers` threads. In-flight work is bounded by
-        depth + post_workers, so memory stays flat on arbitrarily long
-        streams."""
+        runs on `post_workers` threads. Preprocess + host->device upload +
+        dispatch run on `pre_workers` threads so per-transfer upload latency
+        (large when the device sits behind a network relay) overlaps across
+        images. In-flight work is bounded by depth + post_workers, so memory
+        stays flat on arbitrarily long streams."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -300,21 +303,24 @@ class BackgroundRemoval:
             )
 
         it = iter(images)
-        inflight: deque = deque()
+        inflight: deque = deque()  # futures from the pre pool, in order
         done: deque = deque()
-        with ThreadPoolExecutor(post_workers) as pool:
+        with ThreadPoolExecutor(post_workers) as pool, \
+                ThreadPoolExecutor(pre_workers) as pre_pool:
             exhausted = False
             while True:
                 while not exhausted and len(inflight) < depth:
                     try:
-                        inflight.append(launch(next(it)))
+                        inflight.append(pre_pool.submit(launch, next(it)))
                     except StopIteration:
                         exhausted = True
                 if inflight:
                     # Hand the oldest step to a postprocess worker; its
                     # np.asarray readback blocks that worker, not the
-                    # dispatch loop.
-                    done.append(pool.submit(post, *inflight.popleft()))
+                    # dispatch loop. .result() waits only for the upload +
+                    # async dispatch of THIS image; later uploads proceed
+                    # concurrently on the other pre workers.
+                    done.append(pool.submit(post, *inflight.popleft().result()))
                 elif not done:
                     break
                 while done and (done[0].done() or not inflight):
