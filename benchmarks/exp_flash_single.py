@@ -1,0 +1,137 @@
+"""Single-K-block flash forward variants: strip VPU passes from the softmax.
+
+The production `_fwd_kernel_single` does, per q-block, elementwise passes
+over the full (bq, N) score grid: scale-mul, bias-add, max-reduce, subtract,
+exp, sum-reduce, p->bf16 cast. The MXU work is fixed; each removed VPU pass
+is ~1/7 of the non-MXU time. Variants:
+
+  base    : production kernel shape (scale on s, bias add, max, exp, sum)
+  qscale  : scale folded into q OUTSIDE the kernel (removes the s*scale pass)
+  nomax   : qscale + softmax against a STATIC bound instead of the row max:
+            p = exp(min(s, CLAMP) - CLAMP). Exact softmax in real arithmetic
+            (shift invariance); in fp32, exact as long as row_max <= CLAMP
+            (no overflow: exp(0)=1 cap) and row_max >= CLAMP - 80 (else all
+            probs underflow). ViT attention logits sit in +-40 at these
+            scales. max-reduce + subtract replaced by one clamp-subtract.
+  nomax_l : nomax but also emits row max(s) so callers can ASSERT the bound
+            (production safety net, one extra reduce — measures its cost).
+
+Run on TPU: python benchmarks/exp_flash_single.py [--bh 96] [--n 4104]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+
+import numpy as np
+
+CLAMP = 40.0
+
+
+def make_run(variant):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale):
+        q, k, v = q_ref[0], k_ref[0], v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if variant in ("base", "nomax_inscale", "nomax_clip2") and scale != 1.0:
+            s = s * scale
+        s = s + bias_ref[0]
+        if variant == "base" or variant == "qscale":
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+        elif variant == "nomax_clip2":
+            m = jnp.full((s.shape[0], 1), CLAMP, jnp.float32)
+            p = jnp.exp(jnp.clip(s, CLAMP - 60.0, CLAMP) - CLAMP)
+        else:
+            m = jnp.full((s.shape[0], 1), CLAMP, jnp.float32)
+            p = jnp.exp(jnp.minimum(s, CLAMP) - CLAMP)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (pv / l).astype(o_ref.dtype)
+        if variant == "nomax_l":
+            lse_ref[0] = (
+                jnp.max(s, axis=1, keepdims=True) + jnp.log(l)
+            ).astype(jnp.float32)
+        else:
+            lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
+
+    def run(q, kk, v, bias, scale, block_q):
+        bh, n, d = q.shape
+        if variant in ("qscale", "nomax", "nomax_l"):
+            q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        grid = (bh, n // block_q)
+        return pl.pallas_call(
+            functools.partial(kernel, scale=scale),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, iq: (b, iq, 0)),
+                pl.BlockSpec((1, n, d), lambda b, iq: (b, 0, 0)),
+                pl.BlockSpec((1, n, d), lambda b, iq: (b, 0, 0)),
+                pl.BlockSpec((1, n), lambda b, iq: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, iq: (b, iq, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda b, iq: (b, iq, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
+            ],
+        )(q, kk, v, bias)
+
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bh", type=int, default=96)
+    ap.add_argument("--n", type=int, default=4104)
+    ap.add_argument("--block-q", type=int, default=456)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.profiling import slope_time
+
+    rng = np.random.default_rng(0)
+    bh, n, d = args.bh, args.n, 64
+    q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.bfloat16)
+    bias = jnp.zeros((1, n), jnp.float32)
+    bias = bias.at[:, n - 3 :].set(-1e30)
+    scale = d ** -0.5
+    print(f"backend: {jax.default_backend()}  bh={bh} n={n}", file=sys.stderr)
+
+    outs = {}
+    for variant in ("base", "nomax_inscale", "nomax_clip2", "nomax"):
+        run = jax.jit(
+            lambda q, k, v, bias, _r=make_run(variant): _r(
+                q, k, v, bias, scale, args.block_q
+            )
+        )
+        t = slope_time(
+            lambda: run(q, k, v, bias),
+            lambda r: float(jnp.sum(r[0][:1, :1, :].astype(jnp.float32))),
+            n_small=3, n_large=13,
+        )
+        o, lse = run(q, k, v, bias)
+        outs[variant] = np.asarray(o.astype(jnp.float32))
+        diff = np.abs(outs[variant] - outs["base"]).max()
+        print(f"{variant:8s}: {t*1e3:.2f} ms   maxdiff vs base {diff:.2e}")
+
+
+if __name__ == "__main__":
+    main()

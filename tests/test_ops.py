@@ -236,6 +236,76 @@ def test_flash_attention_prepadded_n_valid_matches_self_pad():
     np.testing.assert_allclose(np.asarray(gpad), np.asarray(gref), atol=1e-6)
 
 
+def test_flash_static_softmax_bound_exact_and_nan_safe():
+    """The single-K-block kernel softmaxes against a STATIC bound instead of
+    the row max (s3od_tpu/ops/flash_attention.py SOFTMAX_BOUND_*). Contract:
+    (a) exact vs XLA while row maxima stay inside [LO, HI] — including near
+    the edges; (b) gradients consistent through the emitted lse; (c) NO
+    NaN/inf even when logits blow far past the bound in either direction
+    (graceful degradation, not poison)."""
+    from s3od_tpu.ops.attention import _xla_attention
+    from s3od_tpu.ops.flash_attention import (
+        SOFTMAX_BOUND_HI,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(3)
+    b, n, h, d = 1, 200, 2, 64
+    # Single K block: block_k=256 covers padded n.
+    fa = lambda q, k, v: flash_attention(
+        q, k, v, scale=d**-0.5, block_q=128, block_k=256, interpret=True
+    )
+
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    # (a) exact in the normal regime.
+    ref = _xla_attention(q, k, v, d**-0.5)
+    got = fa(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # ...and with row maxima pushed near the HI edge of the window: scale
+    # logits up so maxima land around HI - 5 — still bit-exactly softmax.
+    raw_max = float(jnp.max(jnp.einsum("bnhd,bmhd->bhnm", q, k) * d**-0.5))
+    boost = (SOFTMAX_BOUND_HI - 5.0) / raw_max
+    q_edge = q * boost
+    ref_e = _xla_attention(q_edge, k, v, d**-0.5)
+    got_e = fa(q_edge, k, v)
+    s_max = float(
+        jnp.max(jnp.einsum("bnhd,bmhd->bhnm", q_edge, k) * d**-0.5)
+    )
+    assert s_max < SOFTMAX_BOUND_HI  # precondition: inside the window
+    assert s_max > 10.0              # ...but well away from zero
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
+                               atol=2e-5)
+
+    # (b) gradients through the static-bound lse match XLA autodiff.
+    def grads(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v))), argnums=(0, 1, 2)
+        )(q, k, v)
+
+    for got_g, ref_g, name in zip(
+        grads(fa), grads(lambda q, k, v: _xla_attention(q, k, v, d**-0.5)),
+        "qkv",
+    ):
+        rel = float(jnp.abs(got_g - ref_g).max() /
+                    (jnp.abs(ref_g).max() + 1e-9))
+        assert rel < 1e-4, f"d{name} rel err {rel}"
+
+    # (c) adversarial magnitudes: logits ~ +-8000 (far beyond the window in
+    # both directions). Output must be finite everywhere — the two-sided
+    # clip floors the softmax denominator away from zero.
+    q_hot = jnp.asarray(rng.standard_normal((b, n, h, d)) * 1000, jnp.float32)
+    out_hot = fa(q_hot, k, v)
+    assert np.isfinite(np.asarray(out_hot)).all()
+    q_cold = -jnp.abs(q_hot)
+    k_pos = jnp.abs(k) + 1.0
+    out_cold = fa(q_cold, k_pos, v)
+    assert np.isfinite(np.asarray(out_cold)).all()
+
+
 def test_encoder_sequence_padding_is_transparent(monkeypatch):
     """Force the encoder's pad-once path on CPU (fp32 XLA attention with
     n_valid masking) and check taps and gradients match the unpadded run."""
