@@ -41,7 +41,7 @@ def make_run(variant):
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if variant in ("base", "nomax_inscale", "nomax_clip2") and scale != 1.0:
+        if variant in ("base", "nomax_inscale", "nomax_clip2", "min_eps") and scale != 1.0:
             s = s * scale
         s = s + bias_ref[0]
         if variant == "base" or variant == "qscale":
@@ -50,10 +50,17 @@ def make_run(variant):
         elif variant == "nomax_clip2":
             m = jnp.full((s.shape[0], 1), CLAMP, jnp.float32)
             p = jnp.exp(jnp.clip(s, CLAMP - 60.0, CLAMP) - CLAMP)
+        elif variant == "min_eps":
+            # One-sided min (one VPU pass less than clip); NaN safety via an
+            # epsilon floor on the denominator instead of the LO clip.
+            m = jnp.full((s.shape[0], 1), CLAMP, jnp.float32)
+            p = jnp.exp(jnp.minimum(s, CLAMP) - CLAMP)
         else:
             m = jnp.full((s.shape[0], 1), CLAMP, jnp.float32)
             p = jnp.exp(jnp.minimum(s, CLAMP) - CLAMP)
         l = jnp.sum(p, axis=1, keepdims=True)
+        if variant == "min_eps":
+            l = l + 1e-30
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -116,7 +123,7 @@ def main():
     print(f"backend: {jax.default_backend()}  bh={bh} n={n}", file=sys.stderr)
 
     outs = {}
-    for variant in ("base", "nomax_inscale", "nomax_clip2", "nomax"):
+    for variant in ("base", "nomax_inscale", "nomax_clip2", "min_eps", "nomax"):
         run = jax.jit(
             lambda q, k, v, bias, _r=make_run(variant): _r(
                 q, k, v, bias, scale, args.block_q
