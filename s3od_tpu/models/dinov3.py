@@ -91,20 +91,24 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def _apply_rope(q, k, cos, sin, n_prefix: int):
-    """RoPE on patch tokens only; prefix (CLS+registers) untouched.
-
-    q, k: (B, N, H, D); cos/sin: (N_patches, D).
-    """
+def _apply_rope(q, k, cos, sin):
+    """RoPE over the full sequence. q, k: (B, N, H, D); cos/sin: (N, D)
+    tables that already carry identity rows (cos=1, sin=0) for the
+    CLS/register prefix and any padding tail — x*1 + rotate_half(x)*0 == x
+    bit-exactly, so no prefix concat/split pass is needed."""
     cos = cos.astype(q.dtype)[None, :, None, :]
     sin = sin.astype(q.dtype)[None, :, None, :]
 
     def rot(t):
-        prefix, patches = t[:, :n_prefix], t[:, n_prefix:]
-        patches = patches * cos + _rotate_half(patches) * sin
-        return jnp.concatenate([prefix, patches], axis=1)
+        return t * cos + _rotate_half(t) * sin
 
     return rot(q), rot(k)
+
+
+# Tests flip this to run the fused-projection Pallas kernels in interpreter
+# mode on CPU (the fused path otherwise only activates with attn_impl
+# "flash", which resolves on TPU backends only).
+_QKV_FUSED_INTERPRET = False
 
 
 def _attention(
@@ -113,6 +117,41 @@ def _attention(
 ):
     b, n, _ = x.shape
     h, d = cfg.num_heads, cfg.head_dim
+    from s3od_tpu.ops.attention import resolve_attn_impl
+
+    attn_impl = resolve_attn_impl(n, x.dtype, attn_impl)
+    if "qkv" in p and attn_impl == "flash":
+        # Fused prologue: one Pallas kernel projects q/k/v DIRECTLY into the
+        # (B, H, N, D) layout the flash kernel consumes, with bias, RoPE
+        # (rotate-half as a +-1 MXU matmul) and the softmax scale folded in.
+        # Replaces the reshape + 3 head transposes + RoPE pass + scale
+        # multiply (~3 ms of layout copies per 1024px image at batch 1).
+        from s3od_tpu.ops.flash_attention import (
+            _flash_attention_bhnd,
+            _pick_blocks,
+        )
+        from s3od_tpu.ops.qkv_project import (
+            qkv_project_available,
+            qkv_project_rope,
+        )
+
+        block_q, block_k = _pick_blocks(n, d)
+        if qkv_project_available(n, h * d, h, block_q):
+            q2, k2, v2 = qkv_project_rope(
+                x, p["qkv"]["kernel"], p["qkv"]["bias"], cos, sin,
+                num_heads=h, scale=d**-0.5, block_n=block_q,
+                interpret=_QKV_FUSED_INTERPRET,
+            )
+            out = _flash_attention_bhnd(
+                q2.reshape(b * h, n, d),
+                k2.reshape(b * h, n, d),
+                v2.reshape(b * h, n, d),
+                1.0, block_q, block_k, n_valid or n, _QKV_FUSED_INTERPRET,
+            )
+            out = out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+            out = out.reshape(b, n, h * d)
+            return _linear(out, p["o_proj"])
+
     if "qkv" in p:
         # Fused projection: one (C, 3C) matmul instead of three (C, C).
         qkv = _linear(x, p["qkv"]).reshape(b, n, 3, h, d)
@@ -121,7 +160,7 @@ def _attention(
         q = _linear(x, p["q_proj"]).reshape(b, n, h, d)
         k = _linear(x, p["k_proj"]).reshape(b, n, h, d)
         v = _linear(x, p["v_proj"]).reshape(b, n, h, d)
-    q, k = _apply_rope(q, k, cos, sin, cfg.num_prefix_tokens)
+    q, k = _apply_rope(q, k, cos, sin)
     out = multi_head_attention(
         q, k, v, scale=d**-0.5, impl=attn_impl, n_valid=n_valid
     )
@@ -221,6 +260,17 @@ def encoder_forward(
     x = jnp.concatenate([cls, regs, x], axis=1)
 
     cos, sin = rope_cos_sin(h, w, cfg.head_dim, cfg.rope_theta, rope_coord_scale)
+    # Full-sequence tables: identity rows (cos=1, sin=0) for the
+    # CLS/register prefix mean RoPE applies uniformly — no per-layer prefix
+    # concat/split (see _apply_rope), and the fused qkv kernel can consume
+    # the tables blockwise.
+    n_prefix = cfg.num_prefix_tokens
+    cos = jnp.concatenate(
+        [jnp.ones((n_prefix, cos.shape[1]), cos.dtype), cos], axis=0
+    )
+    sin = jnp.concatenate(
+        [jnp.zeros((n_prefix, sin.shape[1]), sin.dtype), sin], axis=0
+    )
 
     # Pad the sequence ONCE to the flash kernel's block-divisible length
     # (1024 canvas: 4101 -> 4104) so no per-layer q/k/v pad + output slice

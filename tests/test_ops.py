@@ -405,3 +405,106 @@ def test_pallas_layernorm_row_block_picker():
     assert _pick_rows(8 * 4104) == 456
     assert _pick_rows(512) == 512
     assert _pick_rows(131) == 0         # prime: no block, XLA fallback
+
+
+def test_qkv_project_rope_interpret_matches_graph_path():
+    """Fused QKV+RoPE Pallas kernel (interpret mode) vs the encoder's plain
+    graph prologue: linear -> reshape -> RoPE -> scale -> head transpose.
+    Must agree to fp tolerance, including prefix identity rows and the
+    rotate-half-as-matmul formulation."""
+    from s3od_tpu.ops.qkv_project import qkv_project_rope
+
+    rng = np.random.default_rng(7)
+    b, n, h, d = 2, 128, 4, 64
+    c = h * d
+    block_n = 64
+    x = jnp.asarray(rng.standard_normal((b, n, c)) * 0.5, jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((3 * c,)) * 0.1, jnp.float32)
+    # tables with identity prefix rows (as encoder_forward builds them)
+    n_prefix = 5
+    theta = np.random.default_rng(8).uniform(0.1, 2.0, (n - n_prefix, d // 2))
+    cos = np.concatenate(
+        [np.ones((n_prefix, d // 2)), np.cos(theta)], axis=0
+    )
+    sin = np.concatenate(
+        [np.zeros((n_prefix, d // 2)), np.sin(theta)], axis=0
+    )
+    cos = jnp.asarray(np.concatenate([cos, cos], axis=1), jnp.float32)
+    sin = jnp.asarray(np.concatenate([sin, sin], axis=1), jnp.float32)
+    scale = d**-0.5
+
+    q2, k2, v2 = qkv_project_rope(
+        x, kernel, bias, cos, sin, num_heads=h, scale=scale, block_n=block_n,
+        interpret=True,
+    )
+
+    # reference: the plain graph prologue
+    qkv = (x @ kernel + bias).reshape(b, n, 3, h, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+    def rope(t):
+        half = d // 2
+        rot = jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+        return t * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+    q_ref = (rope(q) * scale).transpose(0, 2, 1, 3)
+    k_ref = rope(k).transpose(0, 2, 1, 3)
+    v_ref = v.transpose(0, 2, 1, 3)
+
+    for got, ref, name in ((q2, q_ref, "q"), (k2, k_ref, "k"), (v2, v_ref, "v")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, err_msg=name
+        )
+
+    # gradients flow through the custom_vjp (plain-XLA backward)
+    def loss(fn_inputs):
+        x_, kern_, bias_ = fn_inputs
+        qq, kk, vv = qkv_project_rope(
+            x_, kern_, bias_, cos, sin, num_heads=h, scale=scale,
+            block_n=block_n, interpret=True,
+        )
+        return jnp.sum(jnp.sin(qq) + jnp.cos(kk) * vv)
+
+    def loss_ref(fn_inputs):
+        x_, kern_, bias_ = fn_inputs
+        qkv_ = (x_ @ kern_ + bias_).reshape(b, n, 3, h, d)
+        qq = (rope(qkv_[:, :, 0]) * scale).transpose(0, 2, 1, 3)
+        kk = rope(qkv_[:, :, 1]).transpose(0, 2, 1, 3)
+        vv = qkv_[:, :, 2].transpose(0, 2, 1, 3)
+        return jnp.sum(jnp.sin(qq) + jnp.cos(kk) * vv)
+
+    g = jax.grad(loss)((x, kernel, bias))
+    g_ref = jax.grad(loss_ref)((x, kernel, bias))
+    for got, ref, name in zip(g, g_ref, ("dx", "dkernel", "dbias")):
+        rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+        assert rel < 1e-5, f"{name} rel err {rel}"
+
+
+def test_encoder_fused_qkv_path_matches_xla(monkeypatch):
+    """Full encoder with the fused projection + flash kernels (interpret
+    mode, forced via attn_impl='flash') vs the plain XLA path."""
+    from s3od_tpu.configs import EncoderConfig
+    from s3od_tpu.models import dinov3
+    from s3od_tpu.models.dinov3 import encoder_forward, init_encoder_params
+
+    cfg = EncoderConfig(
+        hidden_size=128, num_layers=2, num_heads=2, intermediate_size=256,
+        patch_size=16, num_register_tokens=4,
+    )
+    params = init_encoder_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)) * 0.3, jnp.float32)
+
+    ref = encoder_forward(params, x, cfg, [1, 2], attn_impl="xla")
+
+    monkeypatch.setattr(dinov3, "_QKV_FUSED_INTERPRET", True)
+    monkeypatch.setattr(
+        "s3od_tpu.ops.attention.resolve_attn_impl",
+        lambda n, dtype, impl="auto": "flash",
+    )
+    got = encoder_forward(params, x, cfg, [1, 2], attn_impl="flash")
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-5
+        )
