@@ -39,6 +39,9 @@ def main():
     cfg = segmentation_config("dinov3_base")
     params, state = init_segmentation_params(jax.random.key(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
+    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
 
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
     inv_std = 1.0 / (jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0)

@@ -38,6 +38,9 @@ def main():
     cfg = segmentation_config("dinov3_base")
     params, state = init_segmentation_params(jax.random.key(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
+    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
 
     p = 1024 // cfg.encoder.patch_size

@@ -67,6 +67,11 @@ class SODPredictor:
                 else x,
                 self.params,
             )
+            from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
+            self.params = pack_encoder_qkv(
+                self.params, self.cfg.encoder.num_heads
+            )
         self._jit = None
 
     @classmethod

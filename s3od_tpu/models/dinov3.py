@@ -111,46 +111,59 @@ def _apply_rope(q, k, cos, sin):
 _QKV_FUSED_INTERPRET = False
 
 
+def _attention_flash_core(
+    p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, n_valid: int,
+):
+    """Fused attention front: one Pallas kernel projects q/k/v DIRECTLY
+    into the (B, H, N, D) layout the flash kernel consumes, with bias,
+    RoPE (rotate-half as a +-1 MXU matmul) and the softmax scale folded
+    in — replacing the reshape + 3 head transposes + RoPE pass + scale
+    multiply (~3 ms of layout copies per 1024px image at batch 1).
+    Returns the raw flash output (B*H, N, D), or None when the shapes
+    don't fit the kernel's block constraints."""
+    b, n, _ = x.shape
+    h, d = cfg.num_heads, cfg.head_dim
+    from s3od_tpu.ops.flash_attention import (
+        _flash_attention_bhnd,
+        _pick_blocks,
+    )
+    from s3od_tpu.ops.qkv_project import (
+        qkv_project_available,
+        qkv_project_rope,
+    )
+
+    block_q, block_k = _pick_blocks(n, d)
+    if not qkv_project_available(n, h * d, h, block_q):
+        return None
+    if "qkv_packed" in p:
+        # Serving predictors pre-pack at load (pack_qkv_params) so no
+        # per-call weight repack transposes hit the graph.
+        from s3od_tpu.ops.qkv_project import qkv_project_rope_packed
+
+        q2, k2, v2 = qkv_project_rope_packed(
+            x, p["qkv_packed"], cos, sin, scale=d**-0.5,
+            block_n=block_q, interpret=_QKV_FUSED_INTERPRET,
+        )
+    else:
+        q2, k2, v2 = qkv_project_rope(
+            x, p["qkv"]["kernel"], p["qkv"]["bias"], cos, sin,
+            num_heads=h, scale=d**-0.5, block_n=block_q,
+            interpret=_QKV_FUSED_INTERPRET,
+        )
+    return _flash_attention_bhnd(
+        q2.reshape(b * h, n, d),
+        k2.reshape(b * h, n, d),
+        v2.reshape(b * h, n, d),
+        1.0, block_q, block_k, n_valid or n, _QKV_FUSED_INTERPRET,
+    )
+
+
 def _attention(
     p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str,
     n_valid: int = 0,
 ):
     b, n, _ = x.shape
     h, d = cfg.num_heads, cfg.head_dim
-    from s3od_tpu.ops.attention import resolve_attn_impl
-
-    attn_impl = resolve_attn_impl(n, x.dtype, attn_impl)
-    if "qkv" in p and attn_impl == "flash":
-        # Fused prologue: one Pallas kernel projects q/k/v DIRECTLY into the
-        # (B, H, N, D) layout the flash kernel consumes, with bias, RoPE
-        # (rotate-half as a +-1 MXU matmul) and the softmax scale folded in.
-        # Replaces the reshape + 3 head transposes + RoPE pass + scale
-        # multiply (~3 ms of layout copies per 1024px image at batch 1).
-        from s3od_tpu.ops.flash_attention import (
-            _flash_attention_bhnd,
-            _pick_blocks,
-        )
-        from s3od_tpu.ops.qkv_project import (
-            qkv_project_available,
-            qkv_project_rope,
-        )
-
-        block_q, block_k = _pick_blocks(n, d)
-        if qkv_project_available(n, h * d, h, block_q):
-            q2, k2, v2 = qkv_project_rope(
-                x, p["qkv"]["kernel"], p["qkv"]["bias"], cos, sin,
-                num_heads=h, scale=d**-0.5, block_n=block_q,
-                interpret=_QKV_FUSED_INTERPRET,
-            )
-            out = _flash_attention_bhnd(
-                q2.reshape(b * h, n, d),
-                k2.reshape(b * h, n, d),
-                v2.reshape(b * h, n, d),
-                1.0, block_q, block_k, n_valid or n, _QKV_FUSED_INTERPRET,
-            )
-            out = out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
-            out = out.reshape(b, n, h * d)
-            return _linear(out, p["o_proj"])
 
     if "qkv" in p:
         # Fused projection: one (C, 3C) matmul instead of three (C, C).
@@ -185,10 +198,32 @@ def vit_block(
     p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str,
     n_valid: int = 0,
 ):
-    h = _layer_norm(x, p["norm1"], cfg.layer_norm_eps)
-    h = _attention(p["attention"], h, cos, sin, cfg, attn_impl, n_valid)
-    x = x + h * p["ls1"].astype(x.dtype)
-    h = _layer_norm(x, p["norm2"], cfg.layer_norm_eps)
+    eps = cfg.layer_norm_eps
+    from s3od_tpu.ops.attention import resolve_attn_impl
+
+    attn_impl = resolve_attn_impl(x.shape[1], x.dtype, attn_impl)
+    h = _layer_norm(x, p["norm1"], eps)
+    out_bhnd = None
+    if attn_impl == "flash" and "qkv" in p["attention"]:
+        out_bhnd = _attention_flash_core(
+            p["attention"], h, cos, sin, cfg, n_valid
+        )
+    if out_bhnd is not None:
+        # Fused epilogue: o_proj + residual + layerscale + norm2 in one
+        # Pallas pass (s3od_tpu/ops/attn_epilogue.py) — no head-transpose
+        # copy, no separate residual/LN HBM passes.
+        from s3od_tpu.ops.attn_epilogue import attn_epilogue
+        from s3od_tpu.ops.flash_attention import _pick_blocks
+
+        block_q, _ = _pick_blocks(x.shape[1], cfg.head_dim)
+        x, h = attn_epilogue(
+            out_bhnd, p["attention"]["o_proj"], x, p["ls1"], p["norm2"],
+            eps=eps, block_n=block_q, interpret=_QKV_FUSED_INTERPRET,
+        )
+    else:
+        h = _attention(p["attention"], h, cos, sin, cfg, attn_impl, n_valid)
+        x = x + h * p["ls1"].astype(x.dtype)
+        h = _layer_norm(x, p["norm2"], eps)
     h = _mlp(p["mlp"], h, cfg)
     x = x + h * p["ls2"].astype(x.dtype)
     return x

@@ -197,6 +197,50 @@ def _bwd_rule(scale, block_n, interpret, res, g):
 _qkv_project_rope.defvjp(_fwd_rule, _bwd_rule)
 
 
+def pack_qkv_params(qkv: dict, num_heads: int) -> dict:
+    """Pre-pack a fused-qkv param dict into the kernel's pair layout.
+
+    Serving predictors call this ONCE at load time so the per-call weight
+    repack transposes (3.5 MB x 12 layers per step) disappear from the
+    graph; training packs on the fly (weights change every step)."""
+    (wq, wk, wv), (bq, bk, bv) = split_qkv_weights_paired(
+        qkv["kernel"], qkv["bias"], num_heads
+    )
+    return {"wq": wq, "wk": wk, "wv": wv, "bq": bq, "bk": bk, "bv": bv}
+
+
+def pack_encoder_qkv(params: dict, num_heads: int) -> dict:
+    """Add ``qkv_packed`` to every encoder block's attention params (in
+    place; returns ``params``). Call once at model-load time on serving
+    paths — see ``pack_qkv_params``."""
+    for blk in params.get("encoder", {}).get("blocks", []):
+        attn = blk.get("attention", {})
+        if "qkv" in attn and "qkv_packed" not in attn:
+            attn["qkv_packed"] = pack_qkv_params(attn["qkv"], num_heads)
+    return params
+
+
+def qkv_project_rope_packed(
+    x: jax.Array,
+    packed: dict,
+    cos: jax.Array,
+    sin: jax.Array,
+    *,
+    scale: float,
+    block_n: int,
+    interpret: bool = False,
+) -> tuple:
+    """Packed-weights entry: see ``qkv_project_rope``."""
+    cos2 = jnp.concatenate([cos, cos], axis=1)
+    sin2 = jnp.concatenate([sin, sin], axis=1)
+    to = lambda t: t.astype(x.dtype)
+    return _qkv_project_rope(
+        x, to(packed["wq"]), to(packed["wk"]), to(packed["wv"]),
+        to(packed["bq"]), to(packed["bk"]), to(packed["bv"]),
+        cos2, sin2, scale, block_n, interpret,
+    )
+
+
 def qkv_project_rope(
     x: jax.Array,
     qkv_kernel: jax.Array,
@@ -215,13 +259,14 @@ def qkv_project_rope(
     (identity rows for prefix and padding); N must be divisible by
     ``block_n`` and the head count must be even (pair packing).
     """
-    (wq, wk, wv), (bq, bk, bv) = split_qkv_weights_paired(
-        qkv_kernel.astype(x.dtype), qkv_bias.astype(x.dtype), num_heads
+    packed = pack_qkv_params(
+        {"kernel": qkv_kernel.astype(x.dtype),
+         "bias": qkv_bias.astype(x.dtype)},
+        num_heads,
     )
-    cos2 = jnp.concatenate([cos, cos], axis=1)
-    sin2 = jnp.concatenate([sin, sin], axis=1)
-    return _qkv_project_rope(
-        x, wq, wk, wv, bq, bk, bv, cos2, sin2, scale, block_n, interpret
+    return qkv_project_rope_packed(
+        x, packed, cos, sin, scale=scale, block_n=block_n,
+        interpret=interpret,
     )
 
 

@@ -107,6 +107,13 @@ class BackgroundRemoval:
                 else x,
                 self.params,
             )
+            # Pre-pack qkv weights for the fused projection kernel so the
+            # per-layer repack transposes never enter the serving graph.
+            from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
+            self.params = pack_encoder_qkv(
+                self.params, self.cfg.encoder.num_heads
+            )
 
         self.mean = IMAGENET_MEAN
         self.std = IMAGENET_STD

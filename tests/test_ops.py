@@ -457,6 +457,19 @@ def test_qkv_project_rope_interpret_matches_graph_path():
             np.asarray(got), np.asarray(ref), atol=2e-5, err_msg=name
         )
 
+    # load-time pre-packed weights (serving path) must be bit-identical
+    from s3od_tpu.ops.qkv_project import (
+        pack_qkv_params,
+        qkv_project_rope_packed,
+    )
+
+    packed = pack_qkv_params({"kernel": kernel, "bias": bias}, h)
+    qp, kp, vp = qkv_project_rope_packed(
+        x, packed, cos, sin, scale=scale, block_n=block_n, interpret=True
+    )
+    for a, b_ in ((qp, q2), (kp, k2), (vp, v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
     # gradients flow through the custom_vjp (plain-XLA backward)
     def loss(fn_inputs):
         x_, kern_, bias_ = fn_inputs
@@ -508,3 +521,69 @@ def test_encoder_fused_qkv_path_matches_xla(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), atol=5e-5
         )
+
+
+def test_attn_epilogue_interpret_matches_graph():
+    """Fused o_proj + residual + layerscale + LN kernel vs the plain graph
+    chain, values and gradients (through the custom_vjp reference)."""
+    from s3od_tpu.ops.attn_epilogue import attn_epilogue
+
+    rng = np.random.default_rng(11)
+    b, h, n, d = 2, 4, 96, 64
+    c = h * d
+    block_n = 48
+    eps = 1e-5
+    a = jnp.asarray(rng.standard_normal((b * h, n, d)) * 0.5, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, c)) * 0.5, jnp.float32)
+    o_proj = {
+        "kernel": jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+    }
+    ls = jnp.asarray(rng.standard_normal((c,)) * 0.5 + 1.0, jnp.float32)
+    norm2 = {
+        "weight": jnp.asarray(rng.uniform(0.5, 2.0, (c,)), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((c,)) * 0.2, jnp.float32),
+    }
+
+    def graph(a, x, kern, bias, ls, lw, lb):
+        out = a.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, c)
+        t = out @ kern + bias
+        xn = x + t * ls
+        xf = xn.astype(jnp.float32)
+        m = jnp.mean(xf, -1, keepdims=True)
+        v = jnp.mean(jnp.square(xf - m), -1, keepdims=True)
+        ln = ((xf - m) * jax.lax.rsqrt(v + eps)) * lw + lb
+        return xn, ln.astype(x.dtype)
+
+    xn_ref, ln_ref = graph(
+        a, x, o_proj["kernel"], o_proj["bias"], ls, norm2["weight"],
+        norm2["bias"],
+    )
+    xn, ln = attn_epilogue(
+        a, o_proj, x, ls, norm2, eps=eps, block_n=block_n, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(xn_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ln), np.asarray(ln_ref), atol=2e-4)
+
+    def loss_fused(args):
+        a_, x_, k_, bi_, ls_, lw_, lb_ = args
+        xn, ln = attn_epilogue(
+            a_, {"kernel": k_, "bias": bi_}, x_, ls_,
+            {"weight": lw_, "bias": lb_}, eps=eps, block_n=block_n,
+            interpret=True,
+        )
+        return jnp.sum(jnp.sin(xn) + jnp.cos(ln))
+
+    def loss_graph(args):
+        a_, x_, k_, bi_, ls_, lw_, lb_ = args
+        xn, ln = graph(a_, x_, k_, bi_, ls_, lw_, lb_)
+        return jnp.sum(jnp.sin(xn) + jnp.cos(ln))
+
+    args = (a, x, o_proj["kernel"], o_proj["bias"], ls, norm2["weight"],
+            norm2["bias"])
+    gf = jax.grad(loss_fused)(args)
+    gg = jax.grad(loss_graph)(args)
+    names = ("da", "dx", "dkernel", "dbias", "dls", "dlw", "dlb")
+    for got, ref, name in zip(gf, gg, names):
+        rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+        assert rel < 1e-4, f"{name} rel err {rel}"
