@@ -110,6 +110,15 @@ def _apply_rope(q, k, cos, sin):
 # "flash", which resolves on TPU backends only).
 _QKV_FUSED_INTERPRET = False
 
+# The fused MLP kernel (ops/mlp_fused.py) measured encoder 12.2 -> 11.25
+# ms/img standalone, but its first integration regressed the FULL batch-1
+# graph 23.4 -> 30 ms: the raised scoped-vmem reservation starved the DPT
+# head's conv prefetch (mask-head up_conv 1.2 -> 8.6 ms in the trace). The
+# block-shrink fix (mlp_fused._pick_block) is in place but NOT yet
+# validated on hardware — enable after a full-graph profile confirms the
+# decoder is unharmed.
+_MLP_FUSED_ENABLED = False
+
 
 def _attention_flash_core(
     p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, n_valid: int,
@@ -196,7 +205,7 @@ def _mlp(p: dict, x: jax.Array, cfg: EncoderConfig) -> jax.Array:
 
 def vit_block(
     p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str,
-    n_valid: int = 0,
+    n_valid: int = 0, fused_mlp_ok: bool = True,
 ):
     eps = cfg.layer_norm_eps
     from s3od_tpu.ops.attention import resolve_attn_impl
@@ -220,6 +229,21 @@ def vit_block(
             out_bhnd, p["attention"]["o_proj"], x, p["ls1"], p["norm2"],
             eps=eps, block_n=block_q, interpret=_QKV_FUSED_INTERPRET,
         )
+        if (
+            fused_mlp_ok
+            and (_MLP_FUSED_ENABLED or _QKV_FUSED_INTERPRET)
+            and not cfg.use_gated_mlp
+            and "bias" in p["mlp"]["up_proj"]
+        ):
+            # Fused MLP: up-proj + erf-GELU + down-proj + residual in one
+            # Pallas pass — the (N, 4C) hidden never touches HBM
+            # (s3od_tpu/ops/mlp_fused.py).
+            from s3od_tpu.ops.mlp_fused import mlp_fused
+
+            return mlp_fused(
+                h, p["mlp"], x, p["ls2"], block_n=block_q,
+                interpret=_QKV_FUSED_INTERPRET,
+            )
     else:
         h = _attention(p["attention"], h, cos, sin, cfg, attn_impl, n_valid)
         x = x + h * p["ls1"].astype(x.dtype)

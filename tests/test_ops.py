@@ -587,3 +587,61 @@ def test_attn_epilogue_interpret_matches_graph():
     for got, ref, name in zip(gf, gg, names):
         rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
         assert rel < 1e-4, f"{name} rel err {rel}"
+
+
+def test_mlp_fused_interpret_matches_graph():
+    """Fused up-proj + erf-GELU + down-proj + residual kernel vs the plain
+    graph chain, values and gradients."""
+    from s3od_tpu.ops.mlp_fused import mlp_fused
+
+    rng = np.random.default_rng(13)
+    b, n, c, f = 2, 96, 128, 512
+    block_n = 48
+    h_ln = jnp.asarray(rng.standard_normal((b, n, c)) * 0.5, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, c)) * 0.5, jnp.float32)
+    mlp = {
+        "up_proj": {
+            "kernel": jnp.asarray(rng.standard_normal((c, f)) * 0.05,
+                                  jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32),
+        },
+        "down_proj": {
+            "kernel": jnp.asarray(rng.standard_normal((f, c)) * 0.05,
+                                  jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+        },
+    }
+    ls = jnp.asarray(rng.standard_normal((c,)) * 0.5 + 1.0, jnp.float32)
+
+    def graph(h_, x_, wu, bu, wd, bd, ls_):
+        t = jax.nn.gelu(h_ @ wu + bu, approximate=False) @ wd + bd
+        return x_ + t * ls_
+
+    ref = graph(h_ln, x, mlp["up_proj"]["kernel"], mlp["up_proj"]["bias"],
+                mlp["down_proj"]["kernel"], mlp["down_proj"]["bias"], ls)
+    got = mlp_fused(h_ln, mlp, x, ls, block_n=block_n, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    args = (h_ln, x, mlp["up_proj"]["kernel"], mlp["up_proj"]["bias"],
+            mlp["down_proj"]["kernel"], mlp["down_proj"]["bias"], ls)
+
+    def loss_fused(a):
+        h_, x_, wu, bu, wd, bd, ls_ = a
+        out = mlp_fused(
+            h_, {"up_proj": {"kernel": wu, "bias": bu},
+                 "down_proj": {"kernel": wd, "bias": bd}},
+            x_, ls_, block_n=block_n, interpret=True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_graph(a):
+        return jnp.sum(jnp.sin(graph(*a)))
+
+    gf = jax.grad(loss_fused)(args)
+    gg = jax.grad(loss_graph)(args)
+    for got_g, ref_g, name in zip(
+        gf, gg, ("dh", "dx", "dwu", "dbu", "dwd", "dbd", "dls")
+    ):
+        rel = float(jnp.abs(got_g - ref_g).max() /
+                    (jnp.abs(ref_g).max() + 1e-9))
+        assert rel < 1e-4, f"{name} rel err {rel}"
