@@ -164,6 +164,7 @@ def _attention_flash_core(
         k2.reshape(b * h, n, d),
         v2.reshape(b * h, n, d),
         1.0, block_q, block_k, n_valid or n, _QKV_FUSED_INTERPRET,
+        True,  # static softmax bound: validated for DINOv3 logit ranges
     )
 
 
@@ -184,7 +185,8 @@ def _attention(
         v = _linear(x, p["v_proj"]).reshape(b, n, h, d)
     q, k = _apply_rope(q, k, cos, sin)
     out = multi_head_attention(
-        q, k, v, scale=d**-0.5, impl=attn_impl, n_valid=n_valid
+        q, k, v, scale=d**-0.5, impl=attn_impl, n_valid=n_valid,
+        static_softmax_bound=True,  # DINOv3 logit range validated
     )
     out = out.reshape(b, n, h * d)
     return _linear(out, p["o_proj"])
@@ -205,7 +207,7 @@ def _mlp(p: dict, x: jax.Array, cfg: EncoderConfig) -> jax.Array:
 
 def vit_block(
     p: dict, x: jax.Array, cos, sin, cfg: EncoderConfig, attn_impl: str,
-    n_valid: int = 0, fused_mlp_ok: bool = True,
+    n_valid: int = 0,
 ):
     eps = cfg.layer_norm_eps
     from s3od_tpu.ops.attention import resolve_attn_impl
@@ -230,8 +232,7 @@ def vit_block(
             eps=eps, block_n=block_q, interpret=_QKV_FUSED_INTERPRET,
         )
         if (
-            fused_mlp_ok
-            and (_MLP_FUSED_ENABLED or _QKV_FUSED_INTERPRET)
+            (_MLP_FUSED_ENABLED or _QKV_FUSED_INTERPRET)
             and not cfg.use_gated_mlp
             and "bias" in p["mlp"]["up_proj"]
         ):

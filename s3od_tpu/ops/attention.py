@@ -78,6 +78,7 @@ def multi_head_attention(
     scale: Optional[float] = None,
     impl: str = "auto",
     n_valid: int = 0,
+    static_softmax_bound: bool = False,
 ) -> jax.Array:
     """Multi-head attention over (B, N, H, D) tensors. Returns (B, N, H, D).
 
@@ -91,5 +92,8 @@ def multi_head_attention(
     if impl == "flash":
         from s3od_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale, n_valid=n_valid)
+        return flash_attention(
+            q, k, v, scale=scale, n_valid=n_valid,
+            static_softmax_bound=static_softmax_bound,
+        )
     return _xla_attention(q, k, v, scale, n_valid=n_valid)

@@ -146,7 +146,11 @@ def attn_epilogue(
     d = c // h
     dt = x_res.dtype
     wo = o_proj["kernel"].astype(dt).reshape(h, d, c)
-    bo = o_proj["bias"].astype(dt).reshape(1, c)
+    bo = (
+        o_proj["bias"].astype(dt).reshape(1, c)
+        if "bias" in o_proj
+        else jnp.zeros((1, c), dt)  # proj_bias=False configs
+    )
     ls = layerscale.astype(dt).reshape(1, c)
     lw = norm2["weight"].astype(dt).reshape(1, c)
     lb = norm2["bias"].astype(dt).reshape(1, c)

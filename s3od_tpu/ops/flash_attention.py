@@ -94,15 +94,22 @@ def _fwd_kernel(
 # falls outside [LO, HI] degrade gracefully (flattened top / uniform row)
 # rather than produce inf/NaN. The emitted lse (HI + log l) equals the true
 # logsumexp under the same condition, so the backward (which rebuilds
-# p = exp(s - lse)) is consistent.
+# p = exp(s - lse)) is consistent; the backward kernels additionally clamp
+# the exponent at 0 so out-of-window rows cannot overflow into inf/NaN
+# gradients. Opt-in per caller (static_softmax_bound) — the window has been
+# validated for DINOv3 ViTs only.
 SOFTMAX_BOUND_HI = 40.0
 SOFTMAX_BOUND_LO = -40.0
 
 
 def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                       scale):
-    """Single K-block specialization (the 1024px ViT path): static-bound
-    softmax, no online-update scratch traffic and no per-row max pass."""
+                       scale, static_bound):
+    """Single K-block specialization: no online-update scratch traffic.
+
+    ``static_bound=True`` additionally drops the per-row max pass (see
+    SOFTMAX_BOUND_* above) — callers opt in per model family, because the
+    ±40 logit window has only been validated for DINOv3 ViTs; MMDiT/FLUX
+    attention keeps the exact row-max softmax."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -115,21 +122,24 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         s = s * scale
     s = s + bias_ref[0]
 
-    p = jnp.exp(
-        jnp.clip(s, SOFTMAX_BOUND_LO, SOFTMAX_BOUND_HI) - SOFTMAX_BOUND_HI
-    )
+    if static_bound:
+        m = SOFTMAX_BOUND_HI
+        p = jnp.exp(jnp.clip(s, SOFTMAX_BOUND_LO, SOFTMAX_BOUND_HI) - m)
+    else:
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (pv / l).astype(o_ref.dtype)
-    lse_ref[0] = (SOFTMAX_BOUND_HI + jnp.log(l)).astype(jnp.float32)
+    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
 
 
 def _flash_forward(
     q, k, v, scale, block_q, block_k, n_valid, *, want_lse=False,
-    interpret=False,
+    interpret=False, static_bound=False,
 ):
     """q, k, v: (BH, N, D) -> (out, lse) with lse (BH, N, 1) fp32.
 
@@ -149,10 +159,15 @@ def _flash_forward(
     ).astype(jnp.float32)[None, :]
 
     single = nk == 1
-    out, lse = pl.pallas_call(
+    kern = (
         functools.partial(
-            _fwd_kernel_single if single else _fwd_kernel, scale=scale
-        ),
+            _fwd_kernel_single, scale=scale, static_bound=static_bound
+        )
+        if single
+        else functools.partial(_fwd_kernel, scale=scale)
+    )
+    out, lse = pl.pallas_call(
+        kern,
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -221,7 +236,10 @@ def _bwd_dq_kernel(
     # Precomputed -inf bias row for padded keys: one VPU add instead of
     # iota+compare+select per block (same trick as the forward kernel).
     s = s + bias_ref[0]
-    p = jnp.exp(s - lse)
+    # min(., 0) guards the recompute: with the static-bound forward, lse can
+    # sit below an out-of-window row max, and exp(s - lse) would overflow to
+    # inf/NaN gradients; legit regimes have s <= lse so this is exact.
+    p = jnp.exp(jnp.minimum(s - lse, 0.0))
 
     gv = jax.lax.dot_general(
         g, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -271,7 +289,7 @@ def _bwd_dkv_kernel(
     if scale != 1.0:
         s = s * scale
     s = s + bias_ref[0]
-    p = jnp.exp(s - lse)  # (bq, bk)
+    p = jnp.exp(jnp.minimum(s - lse, 0.0))  # (bq, bk); see _bwd_dq_kernel
 
     dv_scr[:] += jax.lax.dot_general(
         p.astype(g.dtype), g, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -339,7 +357,7 @@ def _bwd_fused_kernel(
     if scale != 1.0:  # callers fold the scale into q; fallback only
         s = s * scale
     s = s + bias_ref[0]
-    p = jnp.exp(s - lse)  # (bq, bk)
+    p = jnp.exp(jnp.minimum(s - lse, 0.0))  # (bq, bk); see _bwd_dq_kernel
 
     gv = jax.lax.dot_general(
         g, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -537,17 +555,20 @@ def _bwd_blocks(n: int):
     return blk, blk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention_bhnd(q, k, v, scale, block_q, block_k, n_valid, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention_bhnd(q, k, v, scale, block_q, block_k, n_valid, interpret,
+                          static_bound=False):
     return _flash_forward(
-        q, k, v, scale, block_q, block_k, n_valid, interpret=interpret
+        q, k, v, scale, block_q, block_k, n_valid, interpret=interpret,
+        static_bound=static_bound,
     )
 
 
-def _fwd_rule(q, k, v, scale, block_q, block_k, n_valid, interpret):
+def _fwd_rule(q, k, v, scale, block_q, block_k, n_valid, interpret,
+              static_bound=False):
     out, lse = _flash_forward(
         q, k, v, scale, block_q, block_k, n_valid, want_lse=True,
-        interpret=interpret,
+        interpret=interpret, static_bound=static_bound,
     )
     # Name the kernel outputs so a remat policy can SAVE them: under
     # jax.checkpoint the backward otherwise re-runs this forward kernel just
@@ -560,7 +581,8 @@ def _fwd_rule(q, k, v, scale, block_q, block_k, n_valid, interpret):
     return out, (q, k, v, out, lse)
 
 
-def _bwd_rule(scale, block_q, block_k, n_valid, interpret, res, g):
+def _bwd_rule(scale, block_q, block_k, n_valid, interpret, static_bound,
+              res, g):
     q, k, v, out, lse = res
     bq, bk = _bwd_blocks(q.shape[1])
     dq, dk, dv = _flash_backward(
@@ -593,8 +615,13 @@ def flash_attention(
     block_k: int = 0,
     n_valid: int = 0,
     interpret: bool = False,
+    static_softmax_bound: bool = False,
 ) -> jax.Array:
     """Flash attention over (B, N, H, D) tensors; returns (B, N, H, D).
+
+    ``static_softmax_bound``: opt into the constant-shift softmax in the
+    single-K-block kernel (exact while row maxima sit within ±40 — callers
+    must validate their model's logit range; DINOv3 ViTs do).
 
     ``n_valid``: number of real tokens; rows beyond it are padding whose
     keys are masked out (their query rows compute garbage that the caller
@@ -628,6 +655,6 @@ def flash_attention(
 
     out = _flash_attention_bhnd(
         to_bhnd(q), to_bhnd(k), to_bhnd(v), 1.0, block_q, block_k,
-        n_valid, interpret,
+        n_valid, interpret, static_softmax_bound,
     )
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -253,7 +253,8 @@ def test_flash_static_softmax_bound_exact_and_nan_safe():
     b, n, h, d = 1, 200, 2, 64
     # Single K block: block_k=256 covers padded n.
     fa = lambda q, k, v: flash_attention(
-        q, k, v, scale=d**-0.5, block_q=128, block_k=256, interpret=True
+        q, k, v, scale=d**-0.5, block_q=128, block_k=256, interpret=True,
+        static_softmax_bound=True,
     )
 
     q = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
@@ -304,6 +305,15 @@ def test_flash_static_softmax_bound_exact_and_nan_safe():
     k_pos = jnp.abs(k) + 1.0
     out_cold = fa(q_cold, k_pos, v)
     assert np.isfinite(np.asarray(out_cold)).all()
+
+    # ...and the BACKWARD must stay finite too: the bwd kernels rebuild
+    # p = exp(s - lse) from UNCLIPPED s, so without the exponent clamp an
+    # out-of-window row max (s >> lse) would overflow to inf/NaN gradients.
+    g_hot = jax.grad(
+        lambda q, k, v: jnp.sum(fa(q, k, v)), argnums=(0, 1, 2)
+    )(q_hot, k, v)
+    for t in g_hot:
+        assert np.isfinite(np.asarray(t)).all()
 
 
 def test_encoder_sequence_padding_is_transparent(monkeypatch):
