@@ -116,8 +116,10 @@ _QKV_FUSED_INTERPRET = False
 # head's conv prefetch (mask-head up_conv 1.2 -> 8.6 ms in the trace). The
 # block-shrink fix (mlp_fused._pick_block) is in place but NOT yet
 # validated on hardware — enable after a full-graph profile confirms the
-# decoder is unharmed.
-_MLP_FUSED_ENABLED = False
+# decoder is unharmed (S3OD_MLP_FUSED=1 to test).
+import os as _os
+
+_MLP_FUSED_ENABLED = _os.environ.get("S3OD_MLP_FUSED", "0") == "1"
 
 
 def _attention_flash_core(

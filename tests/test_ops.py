@@ -655,3 +655,17 @@ def test_mlp_fused_interpret_matches_graph():
         rel = float(jnp.abs(got_g - ref_g).max() /
                     (jnp.abs(ref_g).max() + 1e-9))
         assert rel < 1e-4, f"{name} rel err {rel}"
+
+
+def test_mlp_fused_block_picker_fits_vmem_scope():
+    """_pick_block must shrink the production 456-row block (whose VMEM
+    stack measured 16.24 MB — over the 16 MB scope) to a divisor of N that
+    fits; raising the scope instead starved downstream conv prefetch
+    (benchmarks/RESULTS.md)."""
+    from s3od_tpu.ops.mlp_fused import _pick_block
+
+    bn = _pick_block(4104, 768, 3072, 456)
+    assert 4104 % bn == 0 and bn % 8 == 0
+    assert bn < 456  # the 456 stack measured over-scope on hardware
+    # tiny configs keep their block untouched
+    assert _pick_block(96, 128, 512, 48) == 48
