@@ -669,3 +669,48 @@ def test_mlp_fused_block_picker_fits_vmem_scope():
     assert bn < 456  # the 456 stack measured over-scope on hardware
     # tiny configs keep their block untouched
     assert _pick_block(96, 128, 512, 48) == 48
+
+
+def test_encoder_fused_path_gradients_and_remat_match_xla(monkeypatch):
+    """Gradients through the FULL fused encoder chain (qkv-projection +
+    flash + epilogue + fused MLP custom_vjps), with and without per-block
+    remat — vs the plain XLA path. This is the composition the 1024px
+    train graph runs on TPU."""
+    from s3od_tpu.configs import EncoderConfig
+    from s3od_tpu.models import dinov3
+    from s3od_tpu.models.dinov3 import encoder_forward, init_encoder_params
+
+    cfg = EncoderConfig(
+        hidden_size=128, num_layers=2, num_heads=2, intermediate_size=256,
+        patch_size=16, num_register_tokens=4,
+    )
+    params = init_encoder_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)) * 0.3, jnp.float32)
+
+    def loss(fn):
+        def f(params, x):
+            taps = fn(params, x)
+            return sum(jnp.sum(jnp.sin(t)) for t in taps)
+
+        return jax.grad(f, argnums=(0, 1))(params, x)
+
+    g_ref = loss(lambda p, xx: encoder_forward(p, xx, cfg, [1, 2],
+                                               attn_impl="xla"))
+
+    monkeypatch.setattr(dinov3, "_QKV_FUSED_INTERPRET", True)
+    monkeypatch.setattr(
+        "s3od_tpu.ops.attention.resolve_attn_impl",
+        lambda n, dtype, impl="auto": "flash",
+    )
+    for remat, policy in ((False, None), (True, "flash")):
+        g_fused = loss(
+            lambda p, xx: encoder_forward(
+                p, xx, cfg, [1, 2], attn_impl="flash",
+                remat=remat, remat_policy=policy,
+            )
+        )
+        for got, ref in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+            rel = float(jnp.abs(got - ref).max() /
+                        (jnp.abs(ref).max() + 1e-9))
+            assert rel < 5e-4, f"remat={remat} rel err {rel}"
