@@ -216,6 +216,30 @@ class BackgroundRemoval:
         padded[hp : hp + resized.shape[0], wp : wp + resized.shape[1]] = resized
         return padded, pad_info
 
+    @staticmethod
+    def _postprocess(image: np.ndarray, pad_info, masks_nc: np.ndarray,
+                     ious: np.ndarray) -> RemovalResult:
+        """Shared product-path epilogue: unpad -> antialiased resize to the
+        original size -> clip -> argmax-IoU selection -> RGBA composite.
+        `masks_nc`: (n, S, S) fp32 soft masks on the padded canvas."""
+        unpadded = remove_padding(masks_nc, pad_info)
+        all_masks = np.clip(
+            resize_bilinear_numpy(
+                unpadded, pad_info["original_size"], antialias=True,
+                h_axis=1, w_axis=2,
+            ),
+            0.0,
+            1.0,
+        )
+        best = int(ious.argmax())
+        alpha = (all_masks[best] * 255).astype(np.uint8)
+        return RemovalResult(
+            predicted_mask=all_masks[best],
+            all_masks=all_masks,
+            all_ious=ious,
+            rgba_image=Image.fromarray(np.dstack([image, alpha]), mode="RGBA"),
+        )
+
     def remove_background(
         self,
         image: Union[np.ndarray, Image.Image],
@@ -232,26 +256,7 @@ class BackgroundRemoval:
             np.asarray(masks[0]).astype(np.float32), -1, 0
         )  # (n, S, S)
         all_ious = np.asarray(ious[0], dtype=np.float32)
-
-        unpadded = remove_padding(masks, pad_info)
-        all_masks = resize_bilinear_numpy(
-            unpadded, pad_info["original_size"], antialias=True, h_axis=1, w_axis=2
-        )
-        all_masks = np.clip(all_masks, 0.0, 1.0)
-
-        best_idx = int(all_ious.argmax())
-        predicted_mask = all_masks[best_idx]
-
-        alpha = (predicted_mask * 255).astype(np.uint8)
-        rgba = np.dstack([image, alpha])
-        rgba_image = Image.fromarray(rgba, mode="RGBA")
-
-        return RemovalResult(
-            predicted_mask=predicted_mask,
-            all_masks=all_masks,
-            all_ious=all_ious,
-            rgba_image=rgba_image,
-        )
+        return self._postprocess(image, pad_info, masks, all_ious)
 
     def remove_background_stream(
         self,
@@ -289,25 +294,7 @@ class BackgroundRemoval:
         def post(image, pad_info, masks, ious):
             m = np.moveaxis(np.asarray(masks[0]).astype(np.float32), -1, 0)
             all_ious = np.asarray(ious[0], dtype=np.float32)
-            unpadded = remove_padding(m, pad_info)
-            all_masks = np.clip(
-                resize_bilinear_numpy(
-                    unpadded, pad_info["original_size"], antialias=True,
-                    h_axis=1, w_axis=2,
-                ),
-                0.0,
-                1.0,
-            )
-            best = int(all_ious.argmax())
-            alpha = (all_masks[best] * 255).astype(np.uint8)
-            return RemovalResult(
-                predicted_mask=all_masks[best],
-                all_masks=all_masks,
-                all_ious=all_ious,
-                rgba_image=Image.fromarray(
-                    np.dstack([image, alpha]), mode="RGBA"
-                ),
-            )
+            return self._postprocess(image, pad_info, m, all_ious)
 
         it = iter(images)
         inflight: deque = deque()  # futures from the pre pool, in order
@@ -322,6 +309,13 @@ class BackgroundRemoval:
                     except StopIteration:
                         exhausted = True
                 if inflight:
+                    # Bound pending postprocess results: when uploads outrun
+                    # compute+postprocess (the relay scenario), block on the
+                    # oldest result instead of accumulating full-res images
+                    # in `done` — this is what keeps memory flat on
+                    # arbitrarily long streams.
+                    while len(done) >= depth + post_workers:
+                        yield done.popleft().result()
                     # Hand the oldest step to a postprocess worker; its
                     # np.asarray readback blocks that worker, not the
                     # dispatch loop. .result() waits only for the upload +
@@ -363,26 +357,7 @@ class BackgroundRemoval:
         masks = np.moveaxis(np.asarray(masks).astype(np.float32), -1, 1)
         ious = np.asarray(ious, dtype=np.float32)
 
-        results = []
-        for img, (_, pad_info), m, iou in zip(arrays, pre, masks, ious):
-            unpadded = remove_padding(m, pad_info)
-            all_masks = np.clip(
-                resize_bilinear_numpy(
-                    unpadded, pad_info["original_size"], antialias=True,
-                    h_axis=1, w_axis=2,
-                ),
-                0.0,
-                1.0,
-            )
-            best = int(iou.argmax())
-            alpha = (all_masks[best] * 255).astype(np.uint8)
-            rgba_image = Image.fromarray(np.dstack([img, alpha]), mode="RGBA")
-            results.append(
-                RemovalResult(
-                    predicted_mask=all_masks[best],
-                    all_masks=all_masks,
-                    all_ious=iou,
-                    rgba_image=rgba_image,
-                )
-            )
-        return results
+        return [
+            self._postprocess(img, pad_info, m, iou)
+            for img, (_, pad_info), m, iou in zip(arrays, pre, masks, ious)
+        ]

@@ -59,6 +59,15 @@ class InferenceServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        # Fail any still-queued requests: their submit() callers block on
+        # Future.result() forever otherwise.
+        while True:
+            try:
+                _, _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("server stopped"))
 
     def submit_async(self, image: np.ndarray, threshold: float = 0.5) -> Future:
         fut: Future = Future()
@@ -108,7 +117,11 @@ class InferenceServer:
             try:
                 results = self.predictor.remove_background_batch(images)[:n_real]
                 for (_, _, fut), res in zip(items, results):
-                    fut.set_result(res)
+                    # A client may have cancelled its future (its own
+                    # timeout); set_result would raise InvalidStateError and
+                    # poison the rest of the batch.
+                    if not fut.done():
+                        fut.set_result(res)
             except Exception as e:  # noqa: BLE001
                 for _, _, fut in items:
                     if not fut.done():

@@ -36,6 +36,14 @@ class CheckpointManager:
         if self.index_path.exists():
             self.index = json.loads(self.index_path.read_text())
         self._ckptr = None
+        # In-flight save whose index entries are not yet durable; committed
+        # once the async write completes (next save()/wait()/restore()).
+        self._pending: Optional[Dict[str, Any]] = None
+        stale = self.dir / "last.tmp"
+        if stale.exists():
+            # A crash mid-save left an unreferenced (possibly partial) dir;
+            # index.json still points at the previous completed 'last'.
+            shutil.rmtree(stale)
 
     @property
     def ckptr(self):
@@ -45,51 +53,92 @@ class CheckpointManager:
             self._ckptr = ocp.StandardCheckpointer()
         return self._ckptr
 
-    def _save_tree(self, path: Path, tree):
-        # Wait for the PREVIOUS async save before touching the filesystem,
-        # not for this one: the ~10s orbax write then overlaps the next
-        # epoch's compute instead of stalling the train loop (measured 10s
-        # of a 16s epoch on the 224px demo run).
+    def _save_tree(self, path: Path, tree) -> None:
+        """Synchronous standalone save (external/export checkpoints — not
+        part of the last/top-k bookkeeping)."""
         self.ckptr.wait_until_finished()
         if path.exists():
             shutil.rmtree(path)
         self.ckptr.save(path.resolve(), jax.device_get(tree))
+        self.ckptr.wait_until_finished()
+
+    def _commit_pending(self) -> None:
+        """Finalize the previous async save: swap last.tmp into place, apply
+        its index entries, drop evicted top-k dirs, write index.json. Called
+        only AFTER ckptr.wait_until_finished(), so index.json never points
+        at an incomplete checkpoint and the previous 'last' is deleted only
+        once its replacement is fully on disk."""
+        if self._pending is None:
+            return
+        pending, self._pending = self._pending, None
+        tmp = self.dir / "last.tmp"
+        if tmp.exists():
+            last = self.dir / "last"
+            if last.exists():
+                shutil.rmtree(last)
+            tmp.rename(last)
+        self.index = pending["index"]
+        for name in pending["drop"]:
+            p = self.dir / name
+            if p.exists():
+                shutil.rmtree(p)
+        self.index_path.write_text(json.dumps(self.index, indent=1))
 
     def wait(self) -> None:
-        """Block until any in-flight async save has finished."""
+        """Block until any in-flight async save has finished and its index
+        entries are durable."""
         if self._ckptr is not None:
             self._ckptr.wait_until_finished()
+        self._commit_pending()
 
     def save(self, state, *, epoch: int, metrics: Dict[str, float]) -> None:
-        """Save `last` always; keep top-k by the monitored metric."""
+        """Save `last` always; keep top-k by the monitored metric.
+
+        Writes are asynchronous (the ~10s orbax write overlaps the next
+        epoch's compute — measured 10s of a 16s epoch on the 224px demo
+        run); the index update and the old-'last' deletion are deferred to
+        the next save()/wait()/restore(), after the write completes.
+        """
         tree = {
             "params": state.params,
             "bn_state": state.bn_state,
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        last_path = self.dir / "last"
-        self._save_tree(last_path, tree)
-        self.index["last"] = {"path": "last", "epoch": epoch, "metrics": metrics}
+        self.ckptr.wait_until_finished()
+        self._commit_pending()
+
+        index = json.loads(json.dumps(self.index))  # deep copy
+        index["last"] = {"path": "last", "epoch": epoch, "metrics": metrics}
+        drop: List[str] = []
+
+        host_tree = jax.device_get(tree)
+        tmp = self.dir / "last.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self.ckptr.save(tmp.resolve(), host_tree)
 
         score = metrics.get(self.monitor)
         if score is not None:
             name = f"epoch{epoch:04d}"
-            entries: List[Dict] = self.index["best"]
+            entries: List[Dict] = index["best"]
             sign = 1.0 if self.mode == "max" else -1.0
             if (
                 len(entries) < self.top_k
                 or sign * score > min(sign * e["score"] for e in entries)
             ):
-                self._save_tree(self.dir / name, tree)
+                # serialize with the last-save (orbax allows one in flight);
+                # top-k epochs pay one blocking write, others stay async.
+                self.ckptr.wait_until_finished()
+                best_path = self.dir / name
+                if best_path.exists():
+                    shutil.rmtree(best_path)
+                self.ckptr.save(best_path.resolve(), host_tree)
                 entries.append({"path": name, "score": score, "epoch": epoch})
                 entries.sort(key=lambda e: -sign * e["score"])
                 while len(entries) > self.top_k:
-                    drop = entries.pop()
-                    p = self.dir / drop["path"]
-                    if p.exists():
-                        shutil.rmtree(p)
-        self.index_path.write_text(json.dumps(self.index, indent=1))
+                    drop.append(entries.pop()["path"])
+        self._pending = {"index": index, "drop": drop}
 
     def restore(self, state, which: str = "last"):
         """Restore into the structure of `state` (same optimizer config)."""

@@ -434,7 +434,6 @@ class PrefetchLoader:
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         order = self._host_order(epoch)
         n_batches = len(self)
-        host_rng = random.Random(self.seed * 1000 + epoch)
 
         load_times: List[float] = []
 
@@ -442,6 +441,10 @@ class PrefetchLoader:
             import time as _time
 
             t0 = _time.perf_counter()
+            # Per-batch RNG: a single shared Random across the pool's
+            # threads would make augmentation draws depend on thread
+            # scheduling, breaking seeded reproducibility.
+            host_rng = random.Random((self.seed * 1000 + epoch) * 100003 + b)
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             first = self.dataset.load(int(idxs[0]))
             if isinstance(first, dict):
@@ -501,34 +504,41 @@ class PrefetchLoader:
             # are ever submitted but undrained, so a slow consumer backs
             # pressure onto loading instead of accumulating completed batch
             # arrays in Future objects (tens of GB on large epochs).
-            window = self.num_threads + self.prefetch
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                from collections import deque
+            sentinel = None  # end-of-epoch; an Exception instance = failure
+            try:
+                window = self.num_threads + self.prefetch
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    from collections import deque
 
-                inflight: "deque" = deque(
-                    pool.submit(load_batch, b)
-                    for b in range(min(window, n_batches))
-                )
-                next_b = len(inflight)
-                while inflight:
-                    fut = inflight.popleft()
-                    if stop.is_set():
-                        for f2 in inflight:
-                            f2.cancel()
-                        return
-                    result = fut.result()
-                    if next_b < n_batches:
-                        inflight.append(pool.submit(load_batch, next_b))
-                        next_b += 1
-                    while not stop.is_set():
-                        try:
-                            q.put(result, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    inflight: "deque" = deque(
+                        pool.submit(load_batch, b)
+                        for b in range(min(window, n_batches))
+                    )
+                    next_b = len(inflight)
+                    while inflight:
+                        fut = inflight.popleft()
+                        if stop.is_set():
+                            for f2 in inflight:
+                                f2.cancel()
+                            return
+                        result = fut.result()
+                        if next_b < n_batches:
+                            inflight.append(pool.submit(load_batch, next_b))
+                            next_b += 1
+                        while not stop.is_set():
+                            try:
+                                q.put(result, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+            except BaseException as e:  # noqa: BLE001 — surfaced in consumer
+                # Without this, a loader error kills the producer thread
+                # before the sentinel is enqueued and the training loop
+                # blocks on q.get() forever.
+                sentinel = e
             while not stop.is_set():
                 try:
-                    q.put(None, timeout=0.5)
+                    q.put(sentinel, timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -540,6 +550,8 @@ class PrefetchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -87,6 +87,8 @@ def ssim_loss(pred, target, window_size: int = 11):
     w = jnp.asarray(_gaussian_window(window_size))[:, :, None, None]  # HWIO
     pad = window_size // 2
 
+    from s3od_tpu.ops.precision import dot_precision
+
     def f(x):
         return jax.lax.conv_general_dilated(
             x[..., None],
@@ -94,6 +96,9 @@ def ssim_loss(pred, target, window_size: int = 11):
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            # fp32 exact-mode rule (CLAUDE.md): default precision computes
+            # fp32 convs at bf16-class accuracy on TPU/oneDNN.
+            precision=dot_precision(x, w),
         )[..., 0]
 
     mu1, mu2 = f(pred), f(target)

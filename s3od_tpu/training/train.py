@@ -221,13 +221,18 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         grad_clip=float(grad_clip) if grad_clip is not None else None,
         warmup_epochs=float(cfg.scheduler.get("warmup_epochs", 0.0)),
     )
-    state = TrainState.create(params, bn_state, optimizer)
-    state = TrainState(
-        params=shard_params(state.params, mesh),
-        bn_state=state.bn_state,
-        opt_state=state.opt_state,
-        step=state.step,
-    )
+    def apply_shardings(st):
+        # param_shardings is shape-based, so it applies to the optimizer
+        # state too (Adam moments mirror the param shapes) — without this
+        # the 2x-params moments stay replicated, defeating ZeRO-3.
+        return TrainState(
+            params=shard_params(st.params, mesh),
+            bn_state=st.bn_state,
+            opt_state=shard_params(st.opt_state, mesh),
+            step=st.step,
+        )
+
+    state = apply_shardings(TrainState.create(params, bn_state, optimizer))
 
     compute_dtype = (
         jnp.bfloat16 if cfg.backend.precision == "bf16" else jnp.float32
@@ -302,6 +307,10 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             ckpt, state, cfg.checkpoint_path, bool(cfg.get("weights_only")),
             steps_per_epoch=steps_per_epoch,
         )
+        # Orbax restores host-numpy trees: re-apply the mesh shardings or a
+        # resumed multi-device run silently trains fully replicated (OOMs
+        # where the fresh start fit sharded).
+        state = apply_shardings(state)
         if start_epoch:
             logger.info("resuming at epoch %d (step %d)", start_epoch,
                         int(state.step))
@@ -373,6 +382,8 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
                 max_epochs=int(cfg.backend.max_epochs),
                 hold_epochs=int(cfg.scheduler.hold_epochs),
                 eta_min=float(cfg.scheduler.eta_min),
+                # keep the logged curve identical to the optimizer's
+                warmup_epochs=float(cfg.scheduler.get("warmup_epochs", 0.0)),
             )
             writer.add_scalar("lr/encoder", float(sched(int(state.step))), epoch)
             writer.add_scalar(
@@ -393,6 +404,9 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         if early.update(metrics):
             logger.info("early stopping at epoch %d", epoch)
             break
+
+    # Make the final async save durable (commits 'last' + index.json).
+    ckpt.wait()
 
     # end-of-fit evaluation callback (`train.py:24-55`)
     if not is_teacher and cfg.get("evaluation", {}).get("enabled"):
@@ -462,6 +476,7 @@ def ckpt_restore_external(ckpt, state, path: str, weights_only: bool,
 
     from s3od_tpu.training.train_step import TrainState
 
+    ckpt.wait()  # commit any in-flight save so 'last' + index are durable
     path_p = Path(path).resolve()
     restored = ckpt.ckptr.restore(
         path_p,
