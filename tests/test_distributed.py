@@ -106,3 +106,56 @@ def test_loader_unsharded_unchanged():
     loader = PrefetchLoader(FakeDataset(), batch_size=2, num_threads=1)
     assert len(loader) == 5
     assert sum(1 for _ in loader.epoch(0)) == 5
+
+
+def test_loader_surfaces_worker_exception():
+    """A loader-worker failure must RAISE in the training loop, not kill the
+    producer thread before the end sentinel and hang the consumer forever."""
+    import pytest
+
+    from s3od_tpu.training.data import PrefetchLoader
+
+    class PoisonDataset:
+        def __len__(self):
+            return 8
+
+        def load(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt sample")
+            img = np.full((8, 8, 3), i, np.uint8)
+            return img, np.full((8, 8), i, np.float32)
+
+    loader = PrefetchLoader(
+        PoisonDataset(), batch_size=2, shuffle=False, num_threads=2, seed=0
+    )
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in loader.epoch(0):
+            pass
+
+
+def test_loader_augmentation_reproducible_across_thread_counts():
+    """Per-batch RNG: augmentation draws must not depend on thread
+    scheduling (a shared Random across the pool made seeded runs
+    irreproducible)."""
+    from s3od_tpu.training.data import PrefetchLoader
+
+    class FakeDataset:
+        def __len__(self):
+            return 16
+
+        def load(self, i):
+            img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+                   + np.uint8(i))
+            return img, np.full((8, 8), i % 2, np.float32)
+
+    def run(threads):
+        loader = PrefetchLoader(
+            FakeDataset(), batch_size=2, shuffle=False, seed=3,
+            num_threads=threads, random_resized_crop_p=1.0,
+        )
+        return [b["images"].copy() for b in loader.epoch(1)]
+
+    a, b = run(1), run(4)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -149,3 +149,22 @@ def test_remove_background_stream_matches_single(circle_image):
         )
         np.testing.assert_allclose(res.all_ious, ref.all_ious, atol=1e-6)
         assert res.rgba_image.size == ref.rgba_image.size
+
+
+def test_server_stop_fails_queued_requests():
+    """stop() must resolve still-queued futures with an error instead of
+    leaving blocked submit() callers deadlocked."""
+    import pytest
+
+    from s3od_tpu.serving import InferenceServer
+
+    class NeverPredictor:
+        def remove_background_batch(self, images, threshold=0.5):
+            raise AssertionError("should not run")
+
+    server = InferenceServer(NeverPredictor(), max_batch=4)
+    # never started: queued requests must still fail cleanly on stop()
+    fut = server.submit_async(np.zeros((8, 8, 3), np.uint8))
+    server.stop()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        fut.result(timeout=5)
