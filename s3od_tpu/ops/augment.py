@@ -30,6 +30,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from s3od_tpu.ops import warp as W
 
@@ -347,7 +348,7 @@ def multiplicative_noise(key, x, mult=(0.9, 1.1)):
 
 # --- JPEG compression via blockwise DCT -------------------------------------
 
-_JPEG_Q_LUMA = jnp.asarray([
+_JPEG_Q_LUMA = np.asarray([
     [16, 11, 10, 16, 24, 40, 51, 61],
     [12, 12, 14, 19, 26, 58, 60, 55],
     [14, 13, 16, 24, 40, 57, 69, 56],
@@ -355,9 +356,9 @@ _JPEG_Q_LUMA = jnp.asarray([
     [18, 22, 37, 56, 68, 109, 103, 77],
     [24, 35, 55, 64, 81, 104, 113, 92],
     [49, 64, 78, 87, 103, 121, 120, 101],
-    [72, 92, 95, 98, 112, 100, 103, 99]], jnp.float32)
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.float32)
 
-_JPEG_Q_CHROMA = jnp.asarray([
+_JPEG_Q_CHROMA = np.asarray([
     [17, 18, 24, 47, 99, 99, 99, 99],
     [18, 21, 26, 66, 99, 99, 99, 99],
     [24, 26, 56, 99, 99, 99, 99, 99],
@@ -365,7 +366,7 @@ _JPEG_Q_CHROMA = jnp.asarray([
     [99, 99, 99, 99, 99, 99, 99, 99],
     [99, 99, 99, 99, 99, 99, 99, 99],
     [99, 99, 99, 99, 99, 99, 99, 99],
-    [99, 99, 99, 99, 99, 99, 99, 99]], jnp.float32)
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.float32)
 
 
 @functools.lru_cache(maxsize=1)
@@ -581,10 +582,10 @@ def blur_one_of(key, x, weights=(0.4, 0.4, 0.3, 0.2)):
 
 # --- Color-space swaps -------------------------------------------------------
 
-_SEPIA = jnp.asarray([
+_SEPIA = np.asarray([
     [0.393, 0.769, 0.189],
     [0.349, 0.686, 0.168],
-    [0.272, 0.534, 0.131]], jnp.float32)
+    [0.272, 0.534, 0.131]], np.float32)
 
 
 def to_sepia(x):

@@ -8,6 +8,7 @@ root is `config/train.yaml`. Values parse as YAML scalars.
 from __future__ import annotations
 
 import copy
+import re
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -74,4 +75,54 @@ def load_config(
         key, _, val = ov.partition("=")
         _set_dotted(cfg, key, yaml.safe_load(val))
 
+    _resolve_interpolations(cfg)
     return Config(cfg)
+
+
+# ${a.b.c} references and ${eval:'<expr>'} — the two OmegaConf mechanisms the
+# reference's configs use (`config/scheduler/cosine.yaml`:
+# `T_max: ${eval:'${backend.max_epochs} - 30'}`; resolver registered at
+# `model_training/train.py:21`). Inner references resolve before the eval;
+# eval runs with no builtins (arithmetic only, not Hydra's full eval).
+_INTERP = re.compile(r"\$\{([^${}]+)\}")
+
+
+def _lookup_dotted(cfg: Dict, key: str) -> Any:
+    node: Any = cfg
+    for p in key.strip().split("."):
+        node = node[p]
+    return node
+
+
+def _resolve_str(cfg: Dict, s: str, depth: int = 0) -> Any:
+    if depth > 10:
+        raise ValueError(f"interpolation loop resolving {s!r}")
+
+    def sub(m):
+        v = _resolve_value(cfg, _lookup_dotted(cfg, m.group(1)), depth + 1)
+        return str(v)
+
+    if s.startswith("${eval:") and s.endswith("}"):
+        expr = s[len("${eval:"):-1].strip().strip("'\"")
+        expr = _INTERP.sub(sub, expr)
+        return eval(expr, {"__builtins__": {}}, {})  # noqa: S307
+    full = _INTERP.fullmatch(s)
+    if full:  # whole-string reference keeps the referent's type
+        return _resolve_value(cfg, _lookup_dotted(cfg, full.group(1)), depth + 1)
+    return _INTERP.sub(sub, s) if "${" in s else s
+
+
+def _resolve_value(cfg: Dict, v: Any, depth: int = 0) -> Any:
+    if isinstance(v, str) and "${" in v:
+        return _resolve_str(cfg, v, depth)
+    return v
+
+
+def _resolve_interpolations(cfg: Dict, node: Any = None) -> None:
+    node = cfg if node is None else node
+    it = node.items() if isinstance(node, dict) else enumerate(node)
+    for k, v in it:
+        if isinstance(v, (dict, list)):
+            _resolve_interpolations(cfg, v)
+        elif isinstance(v, str) and "${" in v:
+            node[k] = _resolve_str(cfg, v)

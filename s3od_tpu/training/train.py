@@ -140,6 +140,21 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     cfg = load_config(args, config_name=config_name)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
+    # Honor `backend.accelerator: cpu` (the reference passes it to
+    # pl.Trainer, `train.py:117`; `config/backend/cpu.yaml`). Must happen
+    # before any backend touch: under the axon relay the default backend is
+    # the remote TPU, and a CLI run that asked for CPU would otherwise hang
+    # on a dead relay (CLAUDE.md relay-outage gotcha).
+    if str(cfg.backend.get("accelerator", "auto")).lower() == "cpu":
+        import jax.extend.backend as _jeb
+
+        jax.config.update("jax_platforms", "cpu")
+        _jeb.clear_backends()
+        # Virtual device count must be set AFTER the clear (CLAUDE.md);
+        # gives the config's device count, like the reference's
+        # 6-process CPU DDP (`config/backend/cpu.yaml`).
+        jax.config.update("jax_num_cpu_devices", int(cfg.backend.devices))
+
     seed = int(cfg.backend.seed)
     np.random.seed(seed)
 

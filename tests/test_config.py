@@ -1,0 +1,82 @@
+"""Config composition tests (Hydra-UX loader, `training/config.py`).
+
+Mirrors the reference's Hydra mechanics: group defaults + `group=name`
+swaps + dotted leaf overrides (`model_training/train.py:72`), plus the two
+OmegaConf interpolation forms its configs use — `${a.b}` references and the
+`${eval:'...'}` resolver registered at `train.py:21` and used by
+`config/scheduler/cosine.yaml` (`T_max: ${eval:'${backend.max_epochs} - 30'}`).
+"""
+
+import pytest
+import yaml
+
+from s3od_tpu.training.config import load_config
+
+
+@pytest.fixture()
+def config_dir(tmp_path):
+    (tmp_path / "train.yaml").write_text(yaml.safe_dump({
+        "defaults": {"backend": "cpu", "scheduler": "cosine"},
+        "experiment_name": "test",
+        "derived": "${backend.max_epochs}",
+        "tag": "run-${experiment_name}",
+    }))
+    (tmp_path / "backend").mkdir()
+    (tmp_path / "backend" / "cpu.yaml").write_text(
+        yaml.safe_dump({"max_epochs": 200, "devices": 1}))
+    (tmp_path / "backend" / "big.yaml").write_text(
+        yaml.safe_dump({"max_epochs": 50, "devices": 8}))
+    (tmp_path / "scheduler").mkdir()
+    (tmp_path / "scheduler" / "cosine.yaml").write_text(
+        yaml.safe_dump({"t_max": "${eval:'${backend.max_epochs} - 30'}"}))
+    return tmp_path
+
+
+def test_defaults_compose(config_dir):
+    cfg = load_config(config_dir=config_dir)
+    assert cfg.backend.max_epochs == 200
+    assert cfg.backend._name == "cpu"
+
+
+def test_group_swap_and_leaf_override(config_dir):
+    cfg = load_config(["backend=big", "backend.devices=4"],
+                      config_dir=config_dir)
+    assert cfg.backend.max_epochs == 50
+    assert cfg.backend.devices == 4
+
+
+def test_unknown_group_choice_raises(config_dir):
+    with pytest.raises(FileNotFoundError):
+        load_config(["backend=nope"], config_dir=config_dir)
+
+
+def test_reference_interpolation_keeps_type(config_dir):
+    cfg = load_config(config_dir=config_dir)
+    assert cfg.derived == 200 and isinstance(cfg.derived, int)
+
+
+def test_string_interpolation_embeds(config_dir):
+    assert load_config(config_dir=config_dir).tag == "run-test"
+
+
+def test_eval_resolver_matches_reference_scheduler_expr(config_dir):
+    # The exact expression shape from the reference's cosine.yaml.
+    cfg = load_config(config_dir=config_dir)
+    assert cfg.scheduler.t_max == 170
+    cfg = load_config(["backend=big"], config_dir=config_dir)
+    assert cfg.scheduler.t_max == 20
+
+
+def test_interpolation_sees_overrides(config_dir):
+    cfg = load_config(["backend.max_epochs=100"], config_dir=config_dir)
+    assert cfg.derived == 100
+    assert cfg.scheduler.t_max == 70
+
+
+def test_eval_has_no_builtins(config_dir):
+    (config_dir / "train.yaml").write_text(yaml.safe_dump({
+        "defaults": {},
+        "bad": "${eval:'__import__(\"os\").getcwd()'}",
+    }))
+    with pytest.raises(Exception):
+        load_config(config_dir=config_dir)
