@@ -330,11 +330,15 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             logger.info("resuming at epoch %d (step %d)", start_epoch,
                         int(state.step))
 
-    rng = jax.random.key(seed + 1)
+    base_rng = jax.random.key(seed + 1)
     max_epochs = int(cfg.backend.max_epochs)
     final_metrics: Dict[str, float] = {}
 
     for epoch in range(start_epoch, max_epochs):
+        # Per-epoch stream derived from (seed, epoch): a resumed run sees
+        # the same augmentation randomness a continuous run would, instead
+        # of replaying epochs 0..start-1's stream after restore.
+        rng = jax.random.fold_in(base_rng, epoch)
         t0 = time.time()
         acc = None
         n_steps = 0
