@@ -17,6 +17,28 @@ from s3od_tpu.ops.precision import dot_precision
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
+# Winograd F(2,3) path for eligible 3x3/s1/p1 convs (ops/winograd.py):
+# 2.25x fewer MXU FLOPs on the DPT decoder's hot convs. Off by default
+# until validated on hardware against the full serving graph
+# (S3OD_WINOGRAD=1 to test; tests exercise it in interpret mode).
+import os as _os
+
+_WINOGRAD_ENABLED = _os.environ.get("S3OD_WINOGRAD", "0") == "1"
+_WINOGRAD_INTERPRET = False  # tests flip this to run the kernel on CPU
+
+
+def _winograd_eligible(x, kernel, stride, padding) -> bool:
+    if not (_WINOGRAD_ENABLED or _WINOGRAD_INTERPRET):
+        return False
+    if stride != 1 or padding != 1 or kernel.shape[:2] != (3, 3):
+        return False
+    if not _WINOGRAD_INTERPRET and jax.default_backend() != "tpu":
+        return False
+    from s3od_tpu.ops.winograd import winograd_available
+
+    b, h, w, c = x.shape
+    return winograd_available(h, w, c, kernel.shape[-1], x.dtype)
+
 
 def conv2d(
     x: jax.Array,
@@ -27,6 +49,13 @@ def conv2d(
 ) -> jax.Array:
     """Standard conv; p = {kernel: (kh,kw,in,out), bias?: (out,)}."""
     kernel = p["kernel"].astype(x.dtype)
+    if _winograd_eligible(x, kernel, stride, padding):
+        from s3od_tpu.ops.winograd import conv3x3_winograd
+
+        return conv3x3_winograd(
+            x, {"kernel": kernel, **({"bias": p["bias"]} if "bias" in p else {})},
+            interpret=_WINOGRAD_INTERPRET,
+        )
     y = jax.lax.conv_general_dilated(
         x,
         kernel,

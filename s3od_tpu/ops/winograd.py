@@ -1,0 +1,259 @@
+"""Winograd F(2x2, 3x3) conv as a Pallas TPU kernel.
+
+The DPT decoder's FLOP budget is dominated by 3x3/stride-1 convs at
+128-512px with 256-1024 channels (RefineNet ResidualConvUnits, scratch
+`layerN_rn` convs, the mask head's first conv — `src/s3od/model.py:244-467`);
+together ~0.7 of the decoder's ~1.05 TFLOP/image at the 1024px canvas.
+Winograd F(2,3) computes each 2x2 output tile with 16 multiplies instead of
+36 — a 2.25x MXU-FLOP reduction — at the cost of cheap (0/±1-coefficient)
+pre/post transforms.
+
+TPU-native formulation: strided tile gathers would trigger Mosaic sublane
+relayouts (the failure mode recorded for ops/mask_tail.py in
+benchmarks/RESULTS.md), so the kernel operates in a space-to-depth domain
+computed once in XLA:
+
+    x  (B, H, W, C)  --pad 1, s2d-->  x2 (B, (H+2)/2, (W+2)/2, 4C)
+
+where channel group g = 2*(y%2) + (x%2). Input tile element (p, q) of tile
+(i, j) is then x2[i + p//2, j + q//2, g(p,q)*C:...] — every in-kernel slice
+is stride-1 and lane-aligned. One program DMAs a (rows+1)-row halo slab of
+x2 to VMEM and, per tile row, applies the B^T·d·B combos (pure add/sub, BT
+entries are 0/±1) in fp32, runs 16 (W/2, C)@(C, K) MXU GEMMs against the
+pre-transformed weights U = G·w·G^T, folds the A^T·M·A inverse (also 0/±1)
+into 4 fp32 accumulators, adds bias, and writes the output tile row in the
+same s2d layout (inverted once in XLA).
+
+Numerics: transforms and accumulation in fp32; GEMM operands in the stream
+dtype (bf16 at serving), matching the graph path's rounding. Exact-mode
+(fp32) error vs lax.conv is ~1e-6 relative.
+
+Backward: custom_vjp re-derives gradients from the plain-XLA conv via
+jax.vjp — safe under jax.grad / remat (same pattern as ops/mlp_fused.py).
+
+Enable with S3OD_WINOGRAD=1 (see ops/conv.py) — gated off by default until
+validated on hardware against the full serving graph.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# F(2x2, 3x3) transform matrices (entries of BT/AT are 0/±1: the data
+# transforms lower to VPU add/sub only).
+_BT = ((1, 0, -1, 0), (0, 1, 1, 0), (0, -1, 1, 0), (0, 1, 0, -1))
+_AT = ((1, 1, 1, 0), (0, 1, -1, -1))
+_G = np.array(
+    [[1.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]],
+    np.float32,
+)
+
+# VMEM ceiling for the block picker: stay inside the default 16 MB scoped
+# budget (raising vmem_limit starves co-scheduled conv prefetch — the
+# mask-head regression recorded in CLAUDE.md).
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def transform_weights(w: jax.Array) -> jax.Array:
+    """(3, 3, C, K) HWIO -> (16, C, K) Winograd-domain weights, fp32 math."""
+    u = jnp.einsum(
+        "uk,vl,klio->uvio", _G, _G, w.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return u.reshape(16, w.shape[2], w.shape[3])
+
+
+def _kernel(x_hbm, u_ref, b_ref, o_ref, x_vmem, sem, *, th, tw, c, k):
+    bi = pl.program_id(0)
+    r = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(r * th, th + 1)], x_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+
+    bias = b_ref[...].astype(jnp.float32)
+    gemm_dtype = x_vmem.dtype
+
+    for i in range(th):
+        rows = (x_vmem[i], x_vmem[i + 1])  # (W2p, 4C) each
+
+        def slab(p, q):
+            """Input-tile position (p, q) across the row's tiles: (tw, c)."""
+            g = (p % 2) * 2 + (q % 2)
+            row = rows[p // 2]
+            return row[q // 2 : q // 2 + tw, g * c : (g + 1) * c].astype(
+                jnp.float32
+            )
+
+        acc = [[None, None], [None, None]]  # A^T M A accumulators, fp32
+        for uu in range(4):
+            # T[q] = sum_p BT[uu][p] * d[p][q]  (one add/sub each)
+            t = []
+            for q in range(4):
+                s = None
+                for p in range(4):
+                    cf = _BT[uu][p]
+                    if cf == 0:
+                        continue
+                    term = slab(p, q) if cf > 0 else -slab(p, q)
+                    s = term if s is None else s + term
+                t.append(s)
+            for vv in range(4):
+                v = None
+                for q in range(4):
+                    cf = _BT[vv][q]
+                    if cf == 0:
+                        continue
+                    term = t[q] if cf > 0 else -t[q]
+                    v = term if v is None else v + term
+                m = jax.lax.dot_general(
+                    v.astype(gemm_dtype), u_ref[uu * 4 + vv],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for a in range(2):
+                    ca = _AT[a][uu]
+                    if ca == 0:
+                        continue
+                    for b2 in range(2):
+                        cb = _AT[b2][vv]
+                        if cb == 0:
+                            continue
+                        term = m if ca * cb > 0 else -m
+                        cur = acc[a][b2]
+                        acc[a][b2] = term if cur is None else cur + term
+        for a in range(2):
+            for b2 in range(2):
+                g = a * 2 + b2
+                o_ref[0, i, :, g * k : (g + 1) * k] = (
+                    acc[a][b2] + bias
+                ).astype(o_ref.dtype)
+
+
+def _pick_rows(h_tiles: int, w2p: int, c: int, k: int, dtype_bytes: int):
+    """Largest row-block (divisor of h_tiles) whose VMEM footprint fits."""
+    for th in (16, 8, 4, 2, 1):
+        if h_tiles % th:
+            continue
+        x_bytes = (th + 1) * w2p * 4 * c * dtype_bytes
+        u_bytes = 16 * c * k * dtype_bytes
+        # out block double-buffered by the pipeline; transforms/accs fp32
+        out_bytes = 2 * th * (w2p - 1) * 4 * k * dtype_bytes
+        live = 8 * (w2p - 1) * max(c, k) * 4
+        if x_bytes + u_bytes + out_bytes + live <= _VMEM_BUDGET:
+            return th
+    return None
+
+
+def winograd_available(
+    h: int, w: int, c: int, k: int, dtype=jnp.bfloat16
+) -> bool:
+    """Eligibility: shapes the kernel handles AND is expected to win at."""
+    if h % 2 or w % 16 or h < 16 or w < 16:
+        return False
+    if c % 128 or k % 128:  # lane-aligned channel groups / outputs
+        return False
+    if w // 2 < 64:  # GEMM M-dim too small to load the MXU
+        return False
+    w2p = -(-(w // 2 + 1) // 8) * 8
+    nbytes = jnp.dtype(dtype).itemsize
+    return _pick_rows(h // 2, w2p, c, k, nbytes) is not None
+
+
+def _forward(x, w, b, interpret):
+    bsz, h, ww, c = x.shape
+    k = w.shape[-1]
+    u = transform_weights(w).astype(x.dtype)
+
+    # pad-1 + space-to-depth (one XLA copy each way)
+    h2, w2 = (h + 2) // 2, (ww + 2) // 2
+    w2p = -(-w2 // 8) * 8  # DMA sublane alignment for the copied slab
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + 2 * (w2p - w2)), (0, 0)))
+    x2 = (
+        xp.reshape(bsz, h2, 2, w2p, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(bsz, h2, w2p, 4 * c)
+    )
+
+    th = _pick_rows(h // 2, w2p, c, k, jnp.dtype(x.dtype).itemsize)
+    assert th is not None, "caller must check winograd_available first"
+    tw = ww // 2
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, th=th, tw=tw, c=c, k=k),
+        grid=(bsz, (h // 2) // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((16, c, k), lambda bi, r: (0, 0, 0)),
+            pl.BlockSpec((k,), lambda bi, r: (0,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, tw, 4 * k), lambda bi, r: (bi, r, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h // 2, tw, 4 * k), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 1, w2p, 4 * c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, u, b.astype(x.dtype))
+
+    # inverse space-to-depth: (B, H/2, W/2, 4K) -> (B, H, W, K)
+    return (
+        out.reshape(bsz, h // 2, tw, 2, 2, k)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(bsz, h, ww, k)
+    )
+
+
+def _reference(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _wino(x, w, b, interpret):
+    return _forward(x, w, b, interpret)
+
+
+def _fwd_rule(x, w, b, interpret):
+    return _wino(x, w, b, interpret), (x, w, b)
+
+
+def _bwd_rule(interpret, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(_reference, x, w, b)
+    return vjp(g)
+
+
+_wino.defvjp(_fwd_rule, _bwd_rule)
+
+
+def conv3x3_winograd(
+    x: jax.Array, p: dict, *, interpret: bool = False
+) -> jax.Array:
+    """Drop-in for conv2d(x, p, stride=1, padding=1) with a 3x3 kernel.
+
+    x: (B, H, W, C) NHWC; p = {kernel: (3, 3, C, K), bias?: (K,)}.
+    Caller must check `winograd_available(H, W, C, K, x.dtype)` first.
+    """
+    w = p["kernel"]
+    b = p.get("bias")
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), x.dtype)
+    return _wino(x, w, b, interpret)

@@ -714,3 +714,127 @@ def test_encoder_fused_path_gradients_and_remat_match_xla(monkeypatch):
             rel = float(jnp.abs(got - ref).max() /
                         (jnp.abs(ref).max() + 1e-9))
             assert rel < 5e-4, f"remat={remat} rel err {rel}"
+
+
+# --- Winograd F(2x2, 3x3) conv kernel (ops/winograd.py) ----------------------
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 32, 128, 256, 256), (2, 16, 128, 128, 128), (1, 48, 144, 256, 128)],
+)
+def test_winograd_conv_interpret_matches_xla(shape):
+    """Winograd conv (interpret mode) vs lax.conv at fp32: the transform
+    algebra is exact; only fp32 rounding differs (~1e-6 relative)."""
+    from s3od_tpu.ops.winograd import (
+        _reference,
+        conv3x3_winograd,
+        winograd_available,
+    )
+
+    rng = np.random.default_rng(5)
+    B, H, W, C, K = shape
+    assert winograd_available(H, W, C, K, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, K)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((K,)) * 0.1, jnp.float32)
+    ref = _reference(x, w, b)
+    got = conv3x3_winograd(x, {"kernel": w, "bias": b}, interpret=True)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 5e-6, rel
+
+
+def test_winograd_bf16_error_no_worse_than_bf16_conv():
+    """bf16 Winograd must not add error beyond what the plain bf16 conv
+    already has vs the fp32 reference (serving swaps one for the other)."""
+    from s3od_tpu.ops.winograd import _reference, conv3x3_winograd
+
+    rng = np.random.default_rng(6)
+    H, W, C, K = 32, 128, 256, 256
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, K)) * 0.05, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((K,)) * 0.1, jnp.bfloat16)
+    f32 = lambda t: t.astype(jnp.float32)
+    ref = _reference(f32(x), f32(w), f32(b))
+    scale = float(jnp.max(jnp.abs(ref)))
+    err_wino = float(jnp.max(jnp.abs(
+        f32(conv3x3_winograd(x, {"kernel": w, "bias": b}, interpret=True))
+        - ref))) / scale
+    err_conv = float(jnp.max(jnp.abs(f32(_reference(x, w, b)) - ref))) / scale
+    assert err_wino < 2.0 * err_conv, (err_wino, err_conv)
+
+
+def test_winograd_gradients_match_conv(monkeypatch):
+    """conv2d with the Winograd gate on: values route through the kernel,
+    gradients through the custom_vjp XLA reference — both match lax.conv,
+    plain and under jax.checkpoint."""
+    import s3od_tpu.ops.conv as conv_mod
+    from s3od_tpu.ops.winograd import _reference
+
+    monkeypatch.setattr(conv_mod, "_WINOGRAD_INTERPRET", True)
+    rng = np.random.default_rng(7)
+    H, W, C, K = 16, 128, 128, 128
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, K)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((K,)) * 0.1, jnp.float32)
+
+    def loss_gate(x, w, b):
+        return jnp.sum(jnp.tanh(
+            conv_mod.conv2d(x, {"kernel": w, "bias": b}, padding=1)))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jnp.tanh(_reference(x, w, b)))
+
+    g_got = jax.grad(loss_gate, argnums=(0, 1, 2))(x, w, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g_got, g_ref):
+        rel = float(jnp.max(jnp.abs(a - r)) / (jnp.max(jnp.abs(r)) + 1e-9))
+        assert rel < 2e-5, rel
+    g_remat = jax.grad(
+        lambda *a: jax.checkpoint(loss_gate)(*a), argnums=1)(x, w, b)
+    rel = float(jnp.max(jnp.abs(g_remat - g_ref[1]))
+                / (jnp.max(jnp.abs(g_ref[1])) + 1e-9))
+    assert rel < 2e-5, rel
+
+
+def test_winograd_eligibility_gate():
+    """Shapes the kernel must refuse: odd/small spatial, unaligned channels,
+    narrow GEMM M-dim, and VMEM-overflowing fp32 wide stages."""
+    from s3od_tpu.ops.winograd import winograd_available
+
+    assert winograd_available(256, 256, 256, 256, jnp.bfloat16)
+    assert winograd_available(512, 512, 256, 128, jnp.bfloat16)
+    assert not winograd_available(31, 128, 256, 256, jnp.bfloat16)  # odd H
+    assert not winograd_available(32, 64, 256, 256, jnp.bfloat16)  # M too small
+    assert not winograd_available(32, 128, 192, 256, jnp.bfloat16)  # C%128
+    assert not winograd_available(32, 128, 256, 64, jnp.bfloat16)  # K%128
+    # fp32 at C=512 overflows the VMEM budget; bf16 fits
+    assert winograd_available(128, 128, 512, 256, jnp.bfloat16)
+    assert not winograd_available(32, 256, 512, 256, jnp.float32)
+
+
+def test_dpt_decoder_with_winograd_gate_matches_xla(monkeypatch):
+    """Full DPT decoder with the Winograd gate on (interpret): the eligible
+    convs reroute, everything else untouched; output parity vs the XLA path."""
+    import s3od_tpu.ops.conv as conv_mod
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.dpt import dpt_head_forward, init_dpt_params
+
+    cfg = segmentation_config("dinov3_small")
+    rng = np.random.default_rng(8)
+    params, state = init_dpt_params(jax.random.key(0), cfg)
+    # 256px canvas -> 16x16 taps; fusion stages at 16..128px, head at 256px.
+    hid = cfg.encoder.hidden_size
+    taps = [
+        jnp.asarray(rng.standard_normal((1, 16 * 16, hid)) * 0.3, jnp.float32)
+        for _ in range(4)
+    ]
+    ref, _ = dpt_head_forward(params, state, taps, (16, 16), cfg,
+                              training=False)
+    monkeypatch.setattr(conv_mod, "_WINOGRAD_INTERPRET", True)
+    got, _ = dpt_head_forward(params, state, taps, (16, 16), cfg,
+                              training=False)
+    for kk in ("pred_masks", "pred_iou"):
+        a, r = np.asarray(got[kk]), np.asarray(ref[kk])
+        rel = np.max(np.abs(a - r)) / (np.max(np.abs(r)) + 1e-9)
+        assert rel < 5e-5, (kk, rel)
