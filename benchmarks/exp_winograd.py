@@ -62,9 +62,35 @@ def main():
 
     from s3od_tpu.ops.winograd import (
         _reference,
+        _rcu_reference,
         conv3x3_winograd,
+        rcu_winograd,
+        rcu_winograd_available,
         winograd_available,
     )
+
+    # Chained RCU kernel vs two XLA convs (the serving RCU stages).
+    for label, h, w, c, n in (("rn1 RCU", 256, 256, 256, 2),
+                              ("rn2 RCU", 128, 128, 256, 2)):
+        assert rcu_winograd_available(h, w, c, jnp.bfloat16), label
+        x = jnp.asarray(rng.standard_normal((args.batch, h, w, c)),
+                        jnp.bfloat16)
+        mk = lambda s, sc: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.bfloat16)
+        p1 = {"kernel": mk((3, 3, c, c), 0.05), "bias": mk((c,), 0.1)}
+        p2 = {"kernel": mk((3, 3, c, c), 0.05), "bias": mk((c,), 0.1)}
+        f_x = jax.jit(lambda x: _rcu_reference(
+            x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]))
+        f_k = jax.jit(lambda x: rcu_winograd(x, p1, p2))
+        np.testing.assert_allclose(
+            np.asarray(f_k(x), np.float32), np.asarray(f_x(x), np.float32),
+            atol=0.5,
+        )
+        rb = lambda out: float(jnp.sum(out[:, ::32, ::32].astype(jnp.float32)))
+        ms_x = slope_time(lambda: f_x(x), rb) * 1e3
+        ms_k = slope_time(lambda: f_k(x), rb) * 1e3
+        print(f"{label:>20} ({h}x{w} c{c}): xla 2-conv {ms_x:.3f} ms | "
+              f"chained winograd {ms_k:.3f} ms | {ms_x/ms_k:.2f}x  x{n}")
 
     # (label, H, W, C, K, count-per-image at the 1024px canvas)
     stages = [

@@ -58,6 +58,26 @@ def _residual_conv_unit(
 ) -> Tuple[jax.Array, Optional[dict]]:
     """ReLU -> conv -> [BN] -> ReLU -> conv -> [BN] -> + x."""
     new_s = {} if use_bn else None
+    if not use_bn and "bias" in p["conv1"]:
+        # BN-folded serving form: the whole unit is one chained Winograd
+        # kernel when the gate is on (ops/winograd.py:rcu_winograd — the
+        # intermediate never touches HBM, no per-conv s2d copies).
+        from s3od_tpu.ops.conv import _WINOGRAD_INTERPRET, _winograd_eligible
+        from s3od_tpu.ops.winograd import rcu_winograd, rcu_winograd_available
+
+        b_, h_, w_, c_ = x.shape
+        if (
+            p["conv1"]["kernel"].shape[2:] == (c_, c_)
+            and p["conv2"]["kernel"].shape[2:] == (c_, c_)
+            and _winograd_eligible(x, p["conv1"]["kernel"], 1, 1)
+            and rcu_winograd_available(h_, w_, c_, x.dtype)
+        ):
+            return (
+                rcu_winograd(
+                    x, p["conv1"], p["conv2"], interpret=_WINOGRAD_INTERPRET
+                ),
+                new_s,
+            )
     out = jax.nn.relu(x)
     out = conv2d(out, p["conv1"], padding=1)
     if use_bn:

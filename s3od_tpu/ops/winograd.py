@@ -93,49 +93,57 @@ def _kernel(x_hbm, u_ref, b_ref, o_ref, x_vmem, sem, *, th, tw, c, k):
                 jnp.float32
             )
 
-        acc = [[None, None], [None, None]]  # A^T M A accumulators, fp32
-        for uu in range(4):
-            # T[q] = sum_p BT[uu][p] * d[p][q]  (one add/sub each)
-            t = []
-            for q in range(4):
-                s = None
-                for p in range(4):
-                    cf = _BT[uu][p]
-                    if cf == 0:
-                        continue
-                    term = slab(p, q) if cf > 0 else -slab(p, q)
-                    s = term if s is None else s + term
-                t.append(s)
-            for vv in range(4):
-                v = None
-                for q in range(4):
-                    cf = _BT[vv][q]
-                    if cf == 0:
-                        continue
-                    term = t[q] if cf > 0 else -t[q]
-                    v = term if v is None else v + term
-                m = jax.lax.dot_general(
-                    v.astype(gemm_dtype), u_ref[uu * 4 + vv],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for a in range(2):
-                    ca = _AT[a][uu]
-                    if ca == 0:
-                        continue
-                    for b2 in range(2):
-                        cb = _AT[b2][vv]
-                        if cb == 0:
-                            continue
-                        term = m if ca * cb > 0 else -m
-                        cur = acc[a][b2]
-                        acc[a][b2] = term if cur is None else cur + term
+        acc = _wino_row(slab, u_ref, gemm_dtype)
         for a in range(2):
             for b2 in range(2):
                 g = a * 2 + b2
                 o_ref[0, i, :, g * k : (g + 1) * k] = (
                     acc[a][b2] + bias
                 ).astype(o_ref.dtype)
+
+
+def _wino_row(slab, u_ref, gemm_dtype):
+    """One tile-row's F(2,3) pipeline: B^T d B combos (fp32 add/sub) ->
+    16 GEMMs against u_ref -> A^T M A fold. Returns the 2x2 fp32
+    accumulators acc[a][b] of shape (tw, k)."""
+    acc = [[None, None], [None, None]]
+    for uu in range(4):
+        # T[q] = sum_p BT[uu][p] * d[p][q]  (one add/sub each)
+        t = []
+        for q in range(4):
+            s = None
+            for p in range(4):
+                cf = _BT[uu][p]
+                if cf == 0:
+                    continue
+                term = slab(p, q) if cf > 0 else -slab(p, q)
+                s = term if s is None else s + term
+            t.append(s)
+        for vv in range(4):
+            v = None
+            for q in range(4):
+                cf = _BT[vv][q]
+                if cf == 0:
+                    continue
+                term = t[q] if cf > 0 else -t[q]
+                v = term if v is None else v + term
+            m = jax.lax.dot_general(
+                v.astype(gemm_dtype), u_ref[uu * 4 + vv],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for a in range(2):
+                ca = _AT[a][uu]
+                if ca == 0:
+                    continue
+                for b2 in range(2):
+                    cb = _AT[b2][vv]
+                    if cb == 0:
+                        continue
+                    term = m if ca * cb > 0 else -m
+                    cur = acc[a][b2]
+                    acc[a][b2] = term if cur is None else cur + term
+    return acc
 
 
 def _pick_rows(h_tiles: int, w2p: int, c: int, k: int, dtype_bytes: int):
@@ -257,3 +265,200 @@ def conv3x3_winograd(
     if b is None:
         b = jnp.zeros((w.shape[-1],), x.dtype)
     return _wino(x, w, b, interpret)
+
+
+# ----------------------------------------------------------------------------
+# Chained ResidualConvUnit kernel: x + conv2(relu(conv1(relu(x)) + b1)) + b2
+# ----------------------------------------------------------------------------
+# The serving RCUs (BN folded, models/dpt.py:_residual_conv_unit) are conv
+# pairs; running them as two separate Winograd calls pays 4 s2d layout
+# copies and a full HBM round trip of the intermediate. This kernel keeps
+# the intermediate in VMEM — in the *pre-shifted* s2d layout of conv2's
+# padded input, so conv1's output tiles scatter (stride-1, lane-aligned)
+# exactly where conv2's slab reads expect them. conv1 recomputes one halo
+# tile-row on each side of the block (overhead 2/th).
+
+
+def _rcu_kernel(
+    x_hbm, u1_ref, b1_ref, u2_ref, b2_ref, o_ref, x_vmem, h_vmem, sem,
+    *, th, tw, c, th_total,
+):
+    bi = pl.program_id(0)
+    r = pl.program_id(1)
+    i0 = r * th
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i0, th + 3)], x_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+
+    h_vmem[...] = jnp.zeros(h_vmem.shape, h_vmem.dtype)
+    b1 = b1_ref[...].astype(jnp.float32)
+    b2 = b2_ref[...].astype(jnp.float32)
+    dt = x_vmem.dtype
+
+    # conv1 over tile rows jj = i0 - 1 + j (one halo row each side); its
+    # outputs land in h_vmem in conv2's padded-s2d layout:
+    #   out pixel (2jj+a, 2J+b) -> h row jj + (a+1)//2 (local j + (a+1)//2),
+    #   col J + (b+1)//2, channel group ((a+1)%2, (b+1)%2).
+    for j in range(th + 2):
+        rows = (x_vmem[j], x_vmem[j + 1])
+
+        def slab1(p, q, rows=rows):
+            g = (p % 2) * 2 + (q % 2)
+            return jnp.maximum(
+                rows[p // 2][q // 2 : q // 2 + tw, g * c : (g + 1) * c]
+                .astype(jnp.float32),
+                0.0,
+            )
+
+        acc = _wino_row(slab1, u1_ref, dt)
+        jj = i0 - 1 + j
+
+        @pl.when((jj >= 0) & (jj < th_total))
+        def _store(acc=acc, j=j):
+            for a in range(2):
+                for b in range(2):
+                    g = ((a + 1) % 2) * 2 + ((b + 1) % 2)
+                    col0 = (b + 1) // 2
+                    h_vmem[
+                        j + (a + 1) // 2,
+                        col0 : col0 + tw,
+                        g * c : (g + 1) * c,
+                    ] = jnp.maximum(acc[a][b] + b1, 0.0).astype(dt)
+
+    # conv2 + bias + residual over the block's th output tile rows.
+    for i in range(th):
+        hrows = (h_vmem[i + 1], h_vmem[i + 2])
+
+        def slab2(p, q, hrows=hrows):
+            g = (p % 2) * 2 + (q % 2)
+            return hrows[p // 2][
+                q // 2 : q // 2 + tw, g * c : (g + 1) * c
+            ].astype(jnp.float32)
+
+        acc = _wino_row(slab2, u2_ref, dt)
+        for a in range(2):
+            for b in range(2):
+                gr = ((a + 1) % 2) * 2 + ((b + 1) % 2)
+                col0 = (b + 1) // 2
+                res = x_vmem[i + 1 + (a + 1) // 2][
+                    col0 : col0 + tw, gr * c : (gr + 1) * c
+                ].astype(jnp.float32)
+                o_ref[0, i, :, (a * 2 + b) * c : (a * 2 + b + 1) * c] = (
+                    acc[a][b] + b2 + res
+                ).astype(o_ref.dtype)
+
+
+def _pick_rows_rcu(h_tiles: int, w2p: int, c: int, dtype_bytes: int):
+    for th in (16, 8, 4, 2):
+        if h_tiles % th:
+            continue
+        x_bytes = (th + 3) * w2p * 4 * c * dtype_bytes
+        h_bytes = (th + 3) * w2p * 4 * c * dtype_bytes
+        u_bytes = 2 * 16 * c * c * dtype_bytes
+        out_bytes = 2 * th * (w2p - 1) * 4 * c * dtype_bytes
+        live = 8 * (w2p - 1) * c * 4
+        if x_bytes + h_bytes + u_bytes + out_bytes + live <= _VMEM_BUDGET:
+            return th
+    return None
+
+
+def rcu_winograd_available(h: int, w: int, c: int, dtype=jnp.bfloat16) -> bool:
+    if h % 2 or w % 16 or h < 16 or w < 16:
+        return False
+    if c % 128 or w // 2 < 64:
+        return False
+    w2p = -(-(w // 2 + 1) // 8) * 8
+    nbytes = jnp.dtype(dtype).itemsize
+    return _pick_rows_rcu(h // 2, w2p, c, nbytes) is not None
+
+
+def _rcu_forward(x, w1, b1, w2, b2, interpret):
+    bsz, h, ww, c = x.shape
+    u1 = transform_weights(w1).astype(x.dtype)
+    u2 = transform_weights(w2).astype(x.dtype)
+
+    h2, w2_ = (h + 2) // 2, (ww + 2) // 2
+    w2p = -(-w2_ // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + 2 * (w2p - w2_)), (0, 0)))
+    x2 = (
+        xp.reshape(bsz, h2, 2, w2p, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(bsz, h2, w2p, 4 * c)
+    )
+    # one zero tile-row of margin above and below: the conv1 halo rows read
+    # it, and pl.when keeps their (garbage-free but unneeded) stores out.
+    x2 = jnp.pad(x2, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    th = _pick_rows_rcu(h // 2, w2p, c, jnp.dtype(x.dtype).itemsize)
+    assert th is not None, "caller must check rcu_winograd_available first"
+    tw = ww // 2
+    th_total = h // 2
+
+    out = pl.pallas_call(
+        functools.partial(
+            _rcu_kernel, th=th, tw=tw, c=c, th_total=th_total
+        ),
+        grid=(bsz, th_total // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((16, c, c), lambda bi, r: (0, 0, 0)),
+            pl.BlockSpec((c,), lambda bi, r: (0,)),
+            pl.BlockSpec((16, c, c), lambda bi, r: (0, 0, 0)),
+            pl.BlockSpec((c,), lambda bi, r: (0,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, tw, 4 * c), lambda bi, r: (bi, r, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h // 2, tw, 4 * c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 3, w2p, 4 * c), x.dtype),
+            pltpu.VMEM((th + 3, w2p, 4 * c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, u1, b1.astype(x.dtype), u2, b2.astype(x.dtype))
+
+    return (
+        out.reshape(bsz, h // 2, tw, 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(bsz, h, ww, c)
+    )
+
+
+def _rcu_reference(x, w1, b1, w2, b2):
+    h = _reference(jax.nn.relu(x), w1, b1)
+    return _reference(jax.nn.relu(h), w2, b2) + x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _rcu(x, w1, b1, w2, b2, interpret):
+    return _rcu_forward(x, w1, b1, w2, b2, interpret)
+
+
+def _rcu_fwd(x, w1, b1, w2, b2, interpret):
+    return _rcu(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2, b2)
+
+
+def _rcu_bwd(interpret, res, g):
+    _, vjp = jax.vjp(_rcu_reference, *res)
+    return vjp(g)
+
+
+_rcu.defvjp(_rcu_fwd, _rcu_bwd)
+
+
+def rcu_winograd(
+    x: jax.Array, p1: dict, p2: dict, *, interpret: bool = False
+) -> jax.Array:
+    """Whole serving ResidualConvUnit in one kernel:
+    x + conv2(relu(conv1(relu(x)))), both convs 3x3/s1/p1 C->C with bias
+    (BN pre-folded). Caller must check `rcu_winograd_available` first."""
+    return _rcu(
+        x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"], interpret
+    )

@@ -838,3 +838,105 @@ def test_dpt_decoder_with_winograd_gate_matches_xla(monkeypatch):
         a, r = np.asarray(got[kk]), np.asarray(ref[kk])
         rel = np.max(np.abs(a - r)) / (np.max(np.abs(r)) + 1e-9)
         assert rel < 5e-5, (kk, rel)
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 128, 128), (1, 64, 144, 128)])
+def test_rcu_winograd_interpret_matches_reference(shape):
+    """Chained RCU kernel (interpret): x + conv2(relu(conv1(relu(x))))
+    with the intermediate kept in VMEM — vs the two-conv XLA reference,
+    across row-block boundaries and batch."""
+    from s3od_tpu.ops.winograd import (
+        _rcu_reference,
+        rcu_winograd,
+        rcu_winograd_available,
+    )
+
+    rng = np.random.default_rng(9)
+    B, H, W, C = shape
+    assert rcu_winograd_available(H, W, C, jnp.float32)
+    mk = lambda s, sc: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    x = mk((B, H, W, C), 1.0)
+    p1 = {"kernel": mk((3, 3, C, C), 0.05), "bias": mk((C,), 0.1)}
+    p2 = {"kernel": mk((3, 3, C, C), 0.05), "bias": mk((C,), 0.1)}
+    ref = _rcu_reference(x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"])
+    got = rcu_winograd(x, p1, p2, interpret=True)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 5e-6, rel
+
+
+def test_rcu_winograd_gradients_match_reference():
+    from s3od_tpu.ops.winograd import _rcu_reference, rcu_winograd
+
+    rng = np.random.default_rng(10)
+    H, W, C = 16, 128, 128
+    mk = lambda s, sc: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    x = mk((1, H, W, C), 1.0)
+    w1, b1 = mk((3, 3, C, C), 0.05), mk((C,), 0.1)
+    w2, b2 = mk((3, 3, C, C), 0.05), mk((C,), 0.1)
+
+    def f_k(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.tanh(rcu_winograd(
+            x, {"kernel": w1, "bias": b1}, {"kernel": w2, "bias": b2},
+            interpret=True)))
+
+    def f_r(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.tanh(_rcu_reference(x, w1, b1, w2, b2)))
+
+    g_k = jax.grad(f_k, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g_r = jax.grad(f_r, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, r in zip(g_k, g_r):
+        rel = float(jnp.max(jnp.abs(a - r)) / (jnp.max(jnp.abs(r)) + 1e-9))
+        assert rel < 2e-5, rel
+
+
+def test_dpt_bnfolded_decoder_winograd_matches_xla(monkeypatch):
+    """BN-folded serving decoder with the gate on: RCUs route through the
+    chained kernel, eligible single convs through the conv kernel; output
+    parity vs the ungated folded path."""
+    import s3od_tpu.ops.conv as conv_mod
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.dpt import (
+        dpt_head_forward,
+        fold_bn_inference,
+        init_dpt_params,
+    )
+
+    cfg = segmentation_config("dinov3_small")
+    rng = np.random.default_rng(11)
+    params, state = init_dpt_params(jax.random.key(0), cfg)
+    # distinct running stats so folding is non-trivial
+    state = jax.tree.map(
+        lambda t: t + jnp.asarray(rng.uniform(0.01, 0.2, t.shape), t.dtype)
+        if t.ndim else t, state)
+    fp, fs, fcfg = fold_bn_inference({"head": params}, state, cfg)
+    fp = fp["head"]
+    hid = cfg.encoder.hidden_size
+    taps = [
+        jnp.asarray(rng.standard_normal((1, 16 * 16, hid)) * 0.3, jnp.float32)
+        for _ in range(4)
+    ]
+    ref, _ = dpt_head_forward(fp, fs, taps, (16, 16), fcfg, training=False)
+    calls = []
+    import s3od_tpu.ops.winograd as wino
+
+    orig = wino.rcu_winograd
+    monkeypatch.setattr(
+        wino, "rcu_winograd",
+        lambda x, p1, p2, **kw: (calls.append(x.shape), orig(x, p1, p2, **kw))[1],
+    )
+    # The W>=128 floors are perf heuristics, not correctness constraints;
+    # relax them so RCUs route at this test's small canvas.
+    relaxed = lambda h, w, c, *a, **kw: (
+        h % 2 == 0 and w % 16 == 0 and c % 128 == 0 and w >= 32)
+    monkeypatch.setattr(wino, "rcu_winograd_available", relaxed)
+    monkeypatch.setattr(
+        wino, "winograd_available",
+        lambda h, w, c, k, *a, **kw: relaxed(h, w, c) and k % 128 == 0,
+    )
+    monkeypatch.setattr(conv_mod, "_WINOGRAD_INTERPRET", True)
+    got, _ = dpt_head_forward(fp, fs, taps, (16, 16), fcfg, training=False)
+    assert calls, "no RCU routed through the chained kernel"
+    for kk in ("pred_masks", "pred_iou"):
+        a, r = np.asarray(got[kk]), np.asarray(ref[kk])
+        rel = np.max(np.abs(a - r)) / (np.max(np.abs(r)) + 1e-9)
+        assert rel < 5e-5, (kk, rel)
