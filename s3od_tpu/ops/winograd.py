@@ -245,8 +245,21 @@ def _fwd_rule(x, w, b, interpret):
 
 def _bwd_rule(interpret, res, g):
     x, w, b = res
-    _, vjp = jax.vjp(_reference, x, w, b)
-    return vjp(g)
+    db = g.sum((0, 1, 2)).astype(b.dtype)
+    # weight grad: XLA (a correlation over the full spatial extent — not a
+    # 3x3 conv; the MXU-heavy part is dx, below).
+    dw = jax.vjp(lambda w_: _reference(x, w_, b), w)[1](g)[0]
+    # data grad of a 3x3/s1/p1 correlation is itself a 3x3/s1/p1
+    # correlation with space-flipped, channel-transposed weights — route it
+    # through the same Winograd kernel when the gradient's shape qualifies.
+    bsz, h, ww, _ = g.shape
+    k, c = w.shape[3], w.shape[2]
+    w_t = w[::-1, ::-1].transpose(0, 1, 3, 2)  # (3, 3, K, C)
+    if winograd_available(h, ww, k, c, g.dtype):
+        dx = _forward(g, w_t, jnp.zeros((c,), g.dtype), interpret)
+    else:
+        dx = _reference(g, w_t, jnp.zeros((c,), g.dtype))
+    return dx.astype(x.dtype), dw, db
 
 
 _wino.defvjp(_fwd_rule, _bwd_rule)
