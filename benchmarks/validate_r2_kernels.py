@@ -9,11 +9,75 @@ each flag combination, with numerics checked against the flags-off graph.
 Flag combos: baseline -> +mlp_fused -> +winograd -> both. Module flags are
 flipped in-process (fresh jits per combo; eligibility is evaluated at trace
 time).
+
+`--train` additionally times the 1024px train step (batch 4, flash remat)
+with Winograd off/on: the gate routes eligible decoder convs in the
+training forward too, and the custom_vjp sends the data-grad back through
+the same kernel. Two extra big compiles — run it once inference validates.
 """
 
 from __future__ import annotations
 
+import argparse
+
 import numpy as np
+
+
+def _train_leg():
+    import jax
+    import jax.numpy as jnp
+
+    import s3od_tpu.ops.conv as conv_mod
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.segmentation import init_segmentation_params
+    from s3od_tpu.profiling import slope_time
+    from s3od_tpu.training.loss import LOSS_PRESETS, LossModule
+    from s3od_tpu.training.optim import make_optimizer
+    from s3od_tpu.training.train_step import TrainState, make_train_step
+
+    cfg = segmentation_config("dinov3_base")
+    loss_module = LossModule(LOSS_PRESETS["focal_iou"])
+    optimizer = make_optimizer(1e-5, steps_per_epoch=100)
+
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {
+        "images": jnp.asarray(
+            rng.standard_normal((B, 1024, 1024, 3)), jnp.float32),
+        "masks": jnp.asarray(rng.random((B, 1024, 1024)) > 0.5, jnp.float32),
+    }
+    epoch = jnp.asarray(0.0)
+    key = jax.random.key(1)
+
+    ref_loss = None
+    for name, wino_on in (("train baseline", False), ("train +winograd", True)):
+        conv_mod._WINOGRAD_ENABLED = wino_on
+        params, bn_state = init_segmentation_params(jax.random.key(0), cfg)
+        state = TrainState.create(params, bn_state, optimizer)
+        train_step = make_train_step(
+            cfg, loss_module, optimizer, accum_steps=1,
+            compute_dtype=jnp.bfloat16, remat_policy="flash",
+        )
+        state, metrics = train_step(state, batch, epoch, key)
+        loss0 = float(metrics["loss"])
+        if ref_loss is None:
+            ref_loss = loss0
+        else:
+            d = abs(loss0 - ref_loss) / (abs(ref_loss) + 1e-9)
+            status = "OK" if d < 5e-3 else "NUMERICS DIFF TOO BIG"
+            print(f"  [{name}] step-1 loss rel diff vs baseline: "
+                  f"{d:.2e} {status}")
+        holder = {"state": state}
+
+        def step_fn():
+            holder["state"], m = train_step(holder["state"], batch, epoch, key)
+            return m
+
+        t = slope_time(step_fn, lambda m: float(m["loss"]),
+                       n_small=2, n_large=6)
+        print(f"[{name}] batch {B}: {t*1e3:.1f} ms/step "
+              f"({B / t:.2f} img/s/chip)")
+    conv_mod._WINOGRAD_ENABLED = False
 
 
 def main():
@@ -91,4 +155,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="also time the 1024px train step winograd off/on")
+    ap.add_argument("--train-only", action="store_true")
+    cli = ap.parse_args()
+    if not cli.train_only:
+        main()
+    if cli.train or cli.train_only:
+        _train_leg()

@@ -142,7 +142,7 @@ def mask_tail(
         ),
         grid=(bsz, h // tr),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, 3, c_dma, c_in), lambda b, r: (0, 0, 0, 0)),
             pl.BlockSpec((c_in,), lambda b, r: (0,)),
             pl.BlockSpec((3, 3, c_in, c_mid), lambda b, r: (0, 0, 0, 0)),

@@ -199,7 +199,7 @@ def _forward(x, w, b, interpret):
         functools.partial(_kernel, th=th, tw=tw, c=c, k=k),
         grid=(bsz, (h // 2) // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16, c, k), lambda bi, r: (0, 0, 0)),
             pl.BlockSpec((k,), lambda bi, r: (0,)),
         ],
@@ -416,7 +416,7 @@ def _rcu_forward(x, w1, b1, w2, b2, interpret):
         ),
         grid=(bsz, th_total // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16, c, c), lambda bi, r: (0, 0, 0)),
             pl.BlockSpec((c,), lambda bi, r: (0,)),
             pl.BlockSpec((16, c, c), lambda bi, r: (0, 0, 0)),
