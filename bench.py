@@ -18,15 +18,34 @@ Prints exactly ONE JSON line on stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 A100_PYTORCH_BASELINE_IMG_S = 25.0
 
+# The axon relay can go down; a dead backend HANGS instead of raising
+# (CLAUDE.md), which would hang the whole bench run forever. Budget:
+# worst-case legitimate run is ~8 remote compiles x ~90 s + timing.
+_WATCHDOG_S = 30 * 60
+
+
+def _watchdog():
+    time.sleep(_WATCHDOG_S)
+    print(
+        f"bench watchdog: no completion after {_WATCHDOG_S}s — TPU relay "
+        "likely down (dead backends hang rather than raise); aborting.",
+        file=sys.stderr,
+        flush=True,
+    )
+    os._exit(2)
+
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
 
