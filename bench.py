@@ -13,12 +13,20 @@ numbers (BASELINE.md), so 25 img/s is our documented estimate of the A100
 PyTorch throughput for this 86M-param ViT-B + DPT at 1024x1024.
 
 Prints exactly ONE JSON line on stdout.
+
+Auto-tune: after the baseline sweep the parent re-measures the gated
+Pallas kernels (S3OD_WINOGRAD / S3OD_MLP_FUSED, off by default pending
+hardware validation — see ops/README.md) in ISOLATED SUBPROCESSES, each
+with a numerics probe checked against the baseline masks. A combo is
+adopted only if it matches numerically AND is faster; a child that
+crashes, hangs, or diverges just leaves the validated baseline in place.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -27,10 +35,17 @@ import numpy as np
 
 A100_PYTORCH_BASELINE_IMG_S = 25.0
 
+_CHILD_ENV = "S3OD_BENCH_CHILD"
+_CHILD_TIMEOUT_S = 600
+_CHILD_MARK = "CHILD_RESULT "
+# bf16 sigmoid outputs; same tolerance as benchmarks/validate_r2_kernels.py
+_PROBE_TOL = 0.02
+
 # The axon relay can go down; a dead backend HANGS instead of raising
 # (CLAUDE.md), which would hang the whole bench run forever. Budget:
-# worst-case legitimate run is ~8 remote compiles x ~90 s + timing.
-_WATCHDOG_S = 30 * 60
+# baseline sweep ~8 remote compiles x ~90 s + timing + up to two
+# auto-tune children at _CHILD_TIMEOUT_S each.
+_WATCHDOG_S = 45 * 60
 
 
 def _watchdog():
@@ -44,6 +59,40 @@ def _watchdog():
     os._exit(2)
 
 
+def _try_gated_combo(name, flag_env, base_probe):
+    """Measure one gated-kernel combo in a subprocess; return its result
+    dict only if it ran to completion AND matched the baseline numerics."""
+    env = dict(os.environ, **flag_env, **{_CHILD_ENV: "1"})
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            timeout=_CHILD_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"auto-tune [{name}]: timed out, keeping baseline",
+              file=sys.stderr)
+        return None
+    line = next(
+        (l for l in proc.stdout.splitlines() if l.startswith(_CHILD_MARK)),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        tail = proc.stderr.strip().splitlines()[-2:]
+        print(f"auto-tune [{name}]: child failed (rc={proc.returncode}) "
+              f"{' | '.join(tail)}", file=sys.stderr)
+        return None
+    got = json.loads(line[len(_CHILD_MARK):])
+    diff = float(np.max(np.abs(
+        np.asarray(got["probe"], np.float32) - base_probe
+    )))
+    status = "OK" if diff < _PROBE_TOL else "NUMERICS DIVERGED — rejected"
+    print(f"auto-tune [{name}]: {got['best']:.1f} img/s at batch "
+          f"{got['best_batch']}, probe maxdiff {diff:.4f} {status}",
+          file=sys.stderr)
+    return got if diff < _PROBE_TOL else None
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
@@ -55,7 +104,18 @@ def main():
         segmentation_forward,
     )
 
-    cfg = segmentation_config("dinov3_base")
+    # S3OD_BENCH_DEBUG=1: tiny model + canvas so the parent/child auto-tune
+    # plumbing is testable on CPU in minutes. Never set by the driver.
+    debug = os.environ.get("S3OD_BENCH_DEBUG") == "1"
+    if debug:
+        # Env vars alone can't switch platforms under the axon sitecustomize
+        # (it initializes JAX at interpreter startup) — force CPU in-process.
+        import jax.extend.backend as _jeb
+
+        jax.config.update("jax_platforms", "cpu")
+        _jeb.clear_backends()
+    size = 256 if debug else 1024
+    cfg = segmentation_config("dinov3_small" if debug else "dinov3_base")
     params, state = init_segmentation_params(jax.random.key(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     from s3od_tpu.ops.qkv_project import pack_encoder_qkv
@@ -98,14 +158,24 @@ def main():
         _ = float(reduce(masks, ious))
         return time.perf_counter() - t0
 
+    child_mode = os.environ.get(_CHILD_ENV) == "1"
     best = 0.0
     best_batch = 0
-    for batch in (1, 2, 4, 8):
+    probe = None
+    for batch in ((1, 8) if child_mode else (1, 2, 4, 8)):
+        # Per-batch-size rng so parent and child batch-1 inputs (and thus
+        # the numerics probes) are identical.
+        brng = np.random.default_rng(batch)
         images = jnp.asarray(
-            rng.integers(0, 255, (batch, 1024, 1024, 3), dtype=np.uint8)
+            brng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
         )
         try:
-            run(images, 1)  # compile + warm
+            masks, ious = forward(params, state, images)  # compile + warm
+            _ = float(reduce(masks, ious))  # sync before timing
+            if batch == 1:
+                probe = np.asarray(
+                    masks[0, :: size // 4, :: size // 4, :], np.float32
+                ).ravel()
         except Exception as e:  # OOM etc.
             print(f"batch {batch}: failed ({type(e).__name__})", file=sys.stderr)
             break
@@ -123,10 +193,37 @@ def main():
         f"best: {best:.1f} img/s at batch {best_batch}", file=sys.stderr
     )
 
+    if child_mode:
+        # Report to the parent and stop: no e2e phase, no final JSON line.
+        print(_CHILD_MARK + json.dumps({
+            "best": best,
+            "best_batch": best_batch,
+            "probe": [round(float(v), 5) for v in probe],
+        }))
+        return
+
+    flags_note = "baseline"
+    for name, flag_env in (
+        ("winograd", {"S3OD_WINOGRAD": "1"}),
+        ("mlp_fused", {"S3OD_MLP_FUSED": "1"}),
+    ):
+        got = _try_gated_combo(name, flag_env, probe)
+        if got is not None and got["best"] > best:
+            best, best_batch = got["best"], got["best_batch"]
+            flags_note = name
+    if flags_note != "baseline":
+        print(f"auto-tune adopted: {flags_note} "
+              f"({best:.1f} img/s at batch {best_batch})", file=sys.stderr)
+
     # Product-path throughput (stderr, informational): the full
     # remove_background pipeline — cv2 letterbox, device forward, unpad +
     # antialiased host resize, RGBA — via the pipelined stream API, on mixed
     # real-world image sizes. The reference never measures this span.
+    if debug:
+        print("debug mode: skipping e2e phase", file=sys.stderr)
+        print(json.dumps({"metric": "debug", "value": round(best, 2),
+                          "unit": "img/s", "vs_baseline": 0.0}))
+        return
     try:
         from s3od_tpu.predictor import BackgroundRemoval
 
