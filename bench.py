@@ -203,14 +203,26 @@ def main():
         return
 
     flags_note = "baseline"
+    baseline_best = best
+    wins = []
     for name, flag_env in (
         ("winograd", {"S3OD_WINOGRAD": "1"}),
         ("mlp_fused", {"S3OD_MLP_FUSED": "1"}),
     ):
         got = _try_gated_combo(name, flag_env, probe)
+        if got is not None and got["best"] > baseline_best:
+            wins.append(name)
         if got is not None and got["best"] > best:
             best, best_batch = got["best"], got["best_batch"]
             flags_note = name
+    if len(wins) == 2:  # both win individually -> measure them combined
+        got = _try_gated_combo(
+            "winograd+mlp_fused",
+            {"S3OD_WINOGRAD": "1", "S3OD_MLP_FUSED": "1"}, probe,
+        )
+        if got is not None and got["best"] > best:
+            best, best_batch = got["best"], got["best_batch"]
+            flags_note = "winograd+mlp_fused"
     if flags_note != "baseline":
         print(f"auto-tune adopted: {flags_note} "
               f"({best:.1f} img/s at batch {best_batch})", file=sys.stderr)
