@@ -166,7 +166,10 @@ class TextEncoders:
         return seq, pooled
 
     def encode_concepts(self, concepts: Sequence[str]):
-        """T5-embed each concept, keep the FIRST token -> (1, N_c, 4096)."""
+        """T5-embed each concept, keep the FIRST token -> (1, N_c, 4096);
+        plus the CLIP pooled vector of the joined concept string (used for
+        the concept stream's modulation, `...pipeline.py:405-428`).
+        Returns (concept_embeds, concept_pooled (1, 768))."""
         if not self._loaded:
             self._load()
         torch = self._torch
@@ -176,7 +179,11 @@ class TextEncoders:
                 tt = self.t5_tok(c, return_tensors="pt")
                 seq = self.t5(**tt).last_hidden_state[0]
                 vecs.append(seq[0].numpy())
-        return np.stack(vecs)[None]
+            ct = self.clip_tok(" ".join(concepts), padding="max_length",
+                               max_length=77, truncation=True,
+                               return_tensors="pt")
+            pooled = self.clip(**ct).pooler_output.numpy()
+        return np.stack(vecs)[None], pooled
 
 
 # ----------------------------------------------------------------------------
@@ -205,6 +212,7 @@ class ConceptAttentionPipeline:
         num_inference_steps: int = 28,
         guidance_scale: float = 3.5,
         concept_timesteps: Optional[Sequence[int]] = None,
+        concept_layers: Optional[Sequence[int]] = None,
         compute_dtype: str = "bfloat16",
         lora: Optional[dict] = None,
         lora_scale: Optional[float] = None,
@@ -231,6 +239,14 @@ class ConceptAttentionPipeline:
             list(concept_timesteps)
             if concept_timesteps is not None
             else list(range(max(0, num_inference_steps - 3), num_inference_steps))
+        )
+        # Reference collects maps from dual blocks 0..17 of 19
+        # (`generation_config.yaml`, `model_training/predictor.py:166-178`);
+        # None = all dual blocks (used by tiny test configs).
+        self.concept_layers = (
+            tuple(concept_layers)
+            if concept_layers is not None
+            else (tuple(range(18)) if cfg.num_dual_blocks == 19 else None)
         )
         self.compute_dtype = compute_dtype
         self._step_fns = {}
@@ -267,10 +283,11 @@ class ConceptAttentionPipeline:
         if key not in self._step_fns:
             cfg = self.cfg
             dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+            layers = self.concept_layers
 
             @functools.partial(jax.jit, static_argnames=("with_concepts",))
             def step(params, latents, txt, pooled, t, guidance, img_ids,
-                     txt_ids, concepts, with_concepts=False):
+                     txt_ids, concepts, concept_pooled, with_concepts=False):
                 from s3od_tpu.models.mmdit import mmdit_forward
 
                 out = mmdit_forward(
@@ -278,7 +295,10 @@ class ConceptAttentionPipeline:
                     timestep=t, img_ids=img_ids, txt_ids=txt_ids,
                     guidance=guidance,
                     concepts=concepts if with_concepts else None,
-                    concept_timestep=t if with_concepts else None,
+                    pooled_concepts=(
+                        concept_pooled if with_concepts else None
+                    ),
+                    concept_layers=layers,
                     compute_dtype=dt,
                 )
                 return out
@@ -299,6 +319,7 @@ class ConceptAttentionPipeline:
         num_inference_steps: Optional[int] = None,
         prompt_embeds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         concept_embeds: Optional[np.ndarray] = None,
+        concept_pooled: Optional[np.ndarray] = None,
     ) -> ConceptAttentionOutput:
         import jax
         import jax.numpy as jnp
@@ -316,7 +337,9 @@ class ConceptAttentionPipeline:
         else:
             t5_feat, pooled = self.text_encoders.encode([prompt])
         if concepts is not None and concept_embeds is None:
-            concept_embeds = self.text_encoders.encode_concepts(concepts)
+            concept_embeds, concept_pooled = (
+                self.text_encoders.encode_concepts(concepts)
+            )
 
         rng = jax.random.key(seed)
         noise = jax.random.normal(
@@ -337,6 +360,14 @@ class ConceptAttentionPipeline:
         pooled_j = jnp.asarray(pooled)
         guidance = jnp.full((1,), self.guidance_scale, jnp.float32)
         cemb = jnp.asarray(concept_embeds) if concept_embeds is not None else None
+        # Concept modulation vector: the concepts' own CLIP pooled embedding
+        # when available, else the prompt's (concept_temb then differs from
+        # temb only through it; None -> block falls back to temb).
+        cpool = (
+            jnp.asarray(concept_pooled)
+            if concept_pooled is not None
+            else pooled_j
+        )
 
         step_fn = self._jit_step((n_tokens, t5_feat.shape[1]))
         features: List = []
@@ -348,14 +379,19 @@ class ConceptAttentionPipeline:
             out = step_fn(
                 self.params, x, txt, pooled_j, t, guidance, img_ids, txt_ids,
                 cemb if with_c else jnp.zeros((1, 1, self.cfg.text_dim)),
+                cpool,
                 with_concepts=with_c,
             )
             if with_c:
-                from s3od_tpu.models.mmdit import concept_heatmaps
-
-                hm = concept_heatmaps(out["concept_out"], out["image_out"], (ph, pw))
+                # (L, B, N_c, N_img): one softmaxed map per collected dual
+                # block; the reference means over ALL (timestep, layer)
+                # entries with equal weight (`...pipeline.py:1148`).
+                cm = out["concept_maps"]
+                hm = jnp.sum(cm, axis=0).reshape(
+                    cm.shape[1], cm.shape[2], ph, pw
+                )
                 heat_accum = hm if heat_accum is None else heat_accum + hm
-                n_heat += 1
+                n_heat += cm.shape[0]
             features = out["features"]  # keep last step's taps
             x = sched.step(x, out["output"], i)
 

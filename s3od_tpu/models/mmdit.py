@@ -164,7 +164,13 @@ def dual_block(
     cfg: MMDiTConfig,
     attn_impl: str = "auto",
 ):
-    """One dual-stream block; returns (img, txt, concept)."""
+    """One dual-stream block; returns (img, txt, concept, maps_vecs).
+
+    maps_vecs is (concept_vectors, image_vectors) — the POST-projection
+    attention outputs of this block, before gating/residual — exactly what
+    the reference processor hands to the map postprocess
+    (`flux_dit_block_with_concept_attention.py:162-166`); None when the
+    concept stream is off."""
     h, d = cfg.num_heads, cfg.head_dim
     shift_i, scale_i, gate_i, shift_mi, scale_mi, gate_mi = _modulation(
         temb, p["img_mod"], 6
@@ -198,6 +204,7 @@ def dual_block(
     attn_t = _linear(attn_t, p["txt_attn"]["proj"])
 
     new_concept = None
+    maps_vecs = None
     if concept is not None:
         eff_temb = concept_temb if concept_temb is not None else temb
         sc, scc, gc, smc, sccm, gcm = _modulation(eff_temb, p["txt_mod"], 6)
@@ -214,6 +221,7 @@ def dual_block(
             cattn[:, :n_c].reshape(*concept.shape[:-1], h * d),
             p["img_attn"]["proj"],  # reference routes concepts through to_out
         )
+        maps_vecs = (attn_c, attn_i)
         concept = concept + gc[:, None].astype(concept.dtype) * attn_c
         con_n2 = (
             _layer_norm(concept) * (1 + sccm[:, None].astype(concept.dtype))
@@ -235,7 +243,7 @@ def dual_block(
                    p["txt_mlp"]["fc2"])
     txt = txt + gate_mt[:, None].astype(txt.dtype) * ff_t
 
-    return img, txt, new_concept
+    return img, txt, new_concept, maps_vecs
 
 
 def single_block(p, x, temb, rope, cfg: MMDiTConfig, attn_impl="auto"):
@@ -271,39 +279,49 @@ def mmdit_forward(
     img_ids: jax.Array,          # (N_img, 3)
     txt_ids: jax.Array,          # (N_txt, 3)
     guidance: Optional[jax.Array] = None,
-    concepts: Optional[jax.Array] = None,   # (B, N_c, text_dim)
-    concept_timestep: Optional[jax.Array] = None,
+    concepts: Optional[jax.Array] = None,        # (B, N_c, text_dim)
+    pooled_concepts: Optional[jax.Array] = None,  # (B, pooled_dim) CLIP of concepts
+    concept_layers: Optional[Sequence[int]] = None,  # dual-block indices; None=all
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
 ) -> Dict[str, jax.Array]:
     """Returns {'output': velocity prediction (B, N_img, in_channels),
-    'features': [tap outputs (B, N_img, hidden)], 'concept_out',
-    'image_out'} — the latter two are the final dual-block streams used for
-    concept-map postprocessing (`flux_with_concept_attention_pipeline.py:
-    1126-1186`)."""
+    'features': [tap outputs (B, N_img, hidden)], 'concept_maps':
+    (L, B, N_c, N_img) softmax-over-patches maps — one per collected dual
+    block, from that block's POST-projection attention vectors, as the
+    reference collects per layer in concept_attention_kwargs['layers']
+    (`flux_dit_with_concept_attention.py:360-367`,
+    `flux_with_concept_attention_pipeline.py:1126-1160`; the caller averages
+    over layers AND timesteps) — plus 'concept_out'/'image_out', the final
+    dual-block streams."""
     dt = compute_dtype
     img = _linear(latents.astype(dt), params["img_in"])
     txt_h = _linear(txt.astype(dt), params["txt_in"])
 
-    temb = _linear(timestep_embedding(timestep, 256), params["time_in"]["fc1"])
-    temb = _linear(jax.nn.silu(temb), params["time_in"]["fc2"])
+    cond = _linear(timestep_embedding(timestep, 256), params["time_in"]["fc1"])
+    cond = _linear(jax.nn.silu(cond), params["time_in"]["fc2"])
     if cfg.guidance_embed and guidance is not None:
         g = _linear(timestep_embedding(guidance, 256), params["guidance_in"]["fc1"])
-        temb = temb + _linear(jax.nn.silu(g), params["guidance_in"]["fc2"])
-    pv = _linear(pooled.astype(jnp.float32), params["vector_in"]["fc1"])
-    temb = temb + _linear(jax.nn.silu(pv), params["vector_in"]["fc2"])
-    temb = temb.astype(jnp.float32)
+        cond = cond + _linear(jax.nn.silu(g), params["guidance_in"]["fc2"])
 
+    def _vector(p):
+        pv = _linear(p.astype(jnp.float32), params["vector_in"]["fc1"])
+        return _linear(jax.nn.silu(pv), params["vector_in"]["fc2"])
+
+    temb = (cond + _vector(pooled)).astype(jnp.float32)
+
+    # Reference: concept_temb = time_text_embed(timestep, [guidance,]
+    # pooled_concept_embeds) — SAME timestep/guidance, the CONCEPTS' CLIP
+    # pooled vector (`flux_dit_with_concept_attention.py:286-293`; the
+    # pipeline pools " ".join(concepts), `...pipeline.py:426-428`). Absent a
+    # pooled-concept vector the block falls back to temb, as the reference
+    # block does when concept_temb is None.
     concept_temb = None
     concept_h = None
     if concepts is not None:
         concept_h = _linear(concepts.astype(dt), params["txt_in"])
-        if concept_timestep is not None:
-            ct = _linear(
-                timestep_embedding(concept_timestep, 256), params["time_in"]["fc1"]
-            )
-            ct = _linear(jax.nn.silu(ct), params["time_in"]["fc2"])
-            concept_temb = (ct + _linear(jax.nn.silu(pv), params["vector_in"]["fc2"])).astype(jnp.float32)
+        if pooled_concepts is not None:
+            concept_temb = (cond + _vector(pooled_concepts)).astype(jnp.float32)
 
     rope_ti = rope_from_ids(
         jnp.concatenate([txt_ids, img_ids], axis=0), cfg.axes_dims, cfg.rope_theta
@@ -316,11 +334,14 @@ def mmdit_forward(
             cfg.axes_dims, cfg.rope_theta,
         )
 
-    for blk in params["dual_blocks"]:
-        img, txt_h, concept_h = dual_block(
+    maps_per_layer: List[jax.Array] = []
+    for bi, blk in enumerate(params["dual_blocks"]):
+        img, txt_h, concept_h, mv = dual_block(
             blk, img, txt_h, concept_h, temb, concept_temb,
             rope_ti, rope_ci, cfg, attn_impl,
         )
+        if mv is not None and (concept_layers is None or bi in concept_layers):
+            maps_per_layer.append(concept_maps_from_vectors(*mv))
 
     concept_out, image_out = concept_h, img
 
@@ -342,31 +363,46 @@ def mmdit_forward(
     return {
         "output": out.astype(jnp.float32),
         "features": features,
+        "concept_maps": (
+            jnp.stack(maps_per_layer) if maps_per_layer else None
+        ),
         "concept_out": concept_out,
         "image_out": image_out,
     }
 
 
+def concept_maps_from_vectors(
+    concept_vectors: jax.Array,  # (B, N_c, hidden) one block's attn output
+    image_vectors: jax.Array,    # (B, N_img, hidden)
+) -> jax.Array:
+    """One (timestep, layer) entry of the reference map postprocess:
+    L2-normalize concepts (eps 1e-8), dot with image tokens, softmax over
+    PATCHES -> (B, N_c, N_img)
+    (`flux_with_concept_attention_pipeline.py:1138-1147`; the caller means
+    over all (timestep, layer) entries, then min-max normalizes)."""
+    c = concept_vectors.astype(jnp.float32)
+    c = c / (jnp.linalg.norm(c, axis=-1, keepdims=True) + 1e-8)
+    sim = jnp.einsum("bnc,bmc->bnm", c, image_vectors.astype(jnp.float32))
+    return jax.nn.softmax(sim, axis=-1)  # over patches
+
+
 def concept_heatmaps(
-    concept_vectors: jax.Array,  # (B, N_c, hidden) over one timestep
+    concept_vectors: jax.Array,  # (B, N_c, hidden)
     image_vectors: jax.Array,    # (B, N_img, hidden)
     patch_hw: Tuple[int, int],
 ) -> jax.Array:
-    """Concept maps: L2-normalize concepts, dot with image tokens, softmax
-    over PATCHES, reshape to (B, N_c, H/16, W/16)
-    (`flux_with_concept_attention_pipeline.py:1126-1186`; caller averages
-    over timesteps and min-max normalizes)."""
-    c = concept_vectors.astype(jnp.float32)
-    c = c / (jnp.linalg.norm(c, axis=-1, keepdims=True) + 1e-6)
-    sim = jnp.einsum("bnc,bmc->bnm", c, image_vectors.astype(jnp.float32))
-    sim = jax.nn.softmax(sim, axis=-1)  # over patches
+    """Spatial form of `concept_maps_from_vectors` for a single vector pair."""
+    sim = concept_maps_from_vectors(concept_vectors, image_vectors)
     b, n_c, _ = sim.shape
     return sim.reshape(b, n_c, *patch_hw)
 
 
 def minmax_normalize(maps: jax.Array) -> jax.Array:
-    lo = jnp.min(maps, axis=(-2, -1), keepdims=True)
-    hi = jnp.max(maps, axis=(-2, -1), keepdims=True)
+    """Per-batch GLOBAL min-max across concepts and space (the reference
+    normalizes maps[b] over its full (concepts, H, W) extent,
+    `flux_with_concept_attention_pipeline.py:1163-1171`)."""
+    lo = jnp.min(maps, axis=(-3, -2, -1), keepdims=True)
+    hi = jnp.max(maps, axis=(-3, -2, -1), keepdims=True)
     return (maps - lo) / (hi - lo + 1e-8)
 
 

@@ -262,7 +262,7 @@ def test_dual_block_matches_reference_fork():
     t = lambda a: torch.from_numpy(np.array(a, copy=True))
 
     with torch.no_grad():
-        ref_txt, ref_img, ref_con, _ = block(
+        ref_txt, ref_img, ref_con, ref_maps = block(
             hidden_states=torch.from_numpy(img),
             encoder_hidden_states=torch.from_numpy(txt),
             concept_hidden_states=torch.from_numpy(con),
@@ -279,7 +279,7 @@ def test_dual_block_matches_reference_fork():
         hidden_size=DIM, num_heads=HEADS, num_dual_blocks=1,
         num_single_blocks=0, axes_dims=AXES_DIMS,
     )
-    got_img, got_txt, got_con = dual_block(
+    got_img, got_txt, got_con, got_maps = dual_block(
         params,
         jnp.asarray(img), jnp.asarray(txt), jnp.asarray(con),
         jnp.asarray(temb), jnp.asarray(ctemb),
@@ -291,6 +291,10 @@ def test_dual_block_matches_reference_fork():
         ("img", got_img, ref_img),
         ("txt", got_txt, ref_txt),
         ("concept", got_con, ref_con),
+        # The map vectors: post-projection attention outputs the reference
+        # hands to the pipeline postprocess.
+        ("map_concept_vecs", got_maps[0], ref_maps["concept_vectors"]),
+        ("map_image_vecs", got_maps[1], ref_maps["image_vectors"]),
     ):
         a = np.asarray(ours, np.float32)
         r = theirs.numpy()
@@ -341,12 +345,12 @@ def test_dual_block_no_concept_matches_reference_fork():
         hidden_size=DIM, num_heads=HEADS, num_dual_blocks=1,
         num_single_blocks=0, axes_dims=AXES_DIMS,
     )
-    got_img, got_txt, got_con = dual_block(
+    got_img, got_txt, got_con, got_maps = dual_block(
         params, jnp.asarray(img), jnp.asarray(txt), None,
         jnp.asarray(temb), None, (cos_ti, sin_ti), None,
         cfg, attn_impl="xla",
     )
-    assert got_con is None
+    assert got_con is None and got_maps is None
     for name, ours, theirs in (("img", got_img, ref_img),
                                ("txt", got_txt, ref_txt)):
         a = np.asarray(ours, np.float32)

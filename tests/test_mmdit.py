@@ -74,10 +74,20 @@ def test_concept_heatmaps_normalized(tiny):
     cfg, params = tiny
     out = mmdit_forward(params, cfg, compute_dtype=jnp.float32,
                         attn_impl="xla", **_inputs(cfg))
-    maps = minmax_normalize(concept_heatmaps(out["concept_out"], out["image_out"], (4, 6)))
+    # One softmaxed map per dual block (reference collects per layer).
+    cm = out["concept_maps"]
+    assert cm.shape == (cfg.num_dual_blocks, 1, 2, 24)
+    np.testing.assert_allclose(np.asarray(cm).sum(-1), 1.0, atol=1e-5)
+    maps = minmax_normalize(
+        jnp.mean(cm, axis=0).reshape(1, 2, 4, 6)
+    )
     m = np.asarray(maps)
     assert m.shape == (1, 2, 4, 6)
     assert m.min() >= 0.0 and m.max() <= 1.0 + 1e-6
+    # Per-batch GLOBAL normalization: exactly one 0 and one 1 across the
+    # whole (concepts, H, W) extent (reference `...pipeline.py:1163-1171`).
+    assert np.isclose(m.max(), 1.0, atol=1e-6)
+    assert np.isclose(m.min(), 0.0, atol=1e-6)
 
 
 def test_latent_packing_roundtrip():
