@@ -31,7 +31,6 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-from torch import nn  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -49,157 +48,14 @@ MLP = 4 * DIM
 AXES_DIMS = (4, 6, 6)  # sums to HEAD_DIM
 
 
-# --- faithful minimal stubs for the three diffusers imports -----------------
-
-
-def _apply_rotary_emb(x, freqs_cis):
-    """diffusers.models.embeddings.apply_rotary_emb with use_real=True,
-    use_real_unbind_dim=-1 (the FLUX call): interleaved-pair rotation,
-    cos/sin of shape (S, D) broadcast over (B, H, S, D)."""
-    cos, sin = freqs_cis
-    cos, sin = cos[None, None], sin[None, None]
-    x1, x2 = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
-    x_rot = torch.stack([-x2, x1], dim=-1).flatten(3)
-    return (x.float() * cos + x_rot.float() * sin).to(x.dtype)
-
-
-class _AdaLayerNormZero(nn.Module):
-    """diffusers AdaLayerNormZero: emb = linear(silu(temb)); 6-chunk
-    [shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp];
-    returns (normed_x, gate_msa, shift_mlp, scale_mlp, gate_mlp)."""
-
-    def __init__(self, dim):
-        super().__init__()
-        self.silu = nn.SiLU()
-        self.linear = nn.Linear(dim, 6 * dim)
-        self.norm = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
-
-    def forward(self, x, emb):
-        e = self.linear(self.silu(emb))
-        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
-            e.chunk(6, dim=1)
-        )
-        x = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
-        return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
-
-
-class _GELUProj(nn.Module):
-    """diffusers GELU activation module (holds the up-projection as .proj,
-    approximate='tanh' for FLUX)."""
-
-    def __init__(self, din, dout):
-        super().__init__()
-        self.proj = nn.Linear(din, dout)
-
-    def forward(self, x):
-        return torch.nn.functional.gelu(self.proj(x), approximate="tanh")
-
-
-class _FeedForward(nn.Module):
-    """diffusers FeedForward: net = [GELU(proj), Dropout, Linear] — key
-    names ff.net.0.proj / ff.net.2 are what the repo converter consumes."""
-
-    def __init__(self, dim, inner):
-        super().__init__()
-        self.net = nn.ModuleList(
-            [_GELUProj(dim, inner), nn.Dropout(0.0), nn.Linear(inner, dim)]
-        )
-
-    def forward(self, x):
-        for m in self.net:
-            x = m(x)
-        return x
-
-
-class _RMSNorm(nn.Module):
-    """diffusers RMSNorm(head_dim, eps=1e-6, elementwise_affine=True)."""
-
-    def __init__(self, dim, eps=1e-6):
-        super().__init__()
-        self.weight = nn.Parameter(torch.ones(dim))
-        self.eps = eps
-
-    def forward(self, x):
-        var = x.float().pow(2).mean(-1, keepdim=True)
-        return (x.float() * torch.rsqrt(var + self.eps)).to(x.dtype) * self.weight
-
-
-class _Attention(nn.Module):
-    """The submodule layout of diffusers Attention as configured by FLUX
-    dual blocks (added_kv_proj_dim=dim, qk_norm='rms_norm', bias=True);
-    forward delegates to the installed processor, as diffusers does."""
-
-    def __init__(self, dim, heads, head_dim):
-        super().__init__()
-        self.heads = heads
-        self.to_q = nn.Linear(dim, dim)
-        self.to_k = nn.Linear(dim, dim)
-        self.to_v = nn.Linear(dim, dim)
-        self.add_q_proj = nn.Linear(dim, dim)
-        self.add_k_proj = nn.Linear(dim, dim)
-        self.add_v_proj = nn.Linear(dim, dim)
-        self.norm_q = _RMSNorm(head_dim)
-        self.norm_k = _RMSNorm(head_dim)
-        self.norm_added_q = _RMSNorm(head_dim)
-        self.norm_added_k = _RMSNorm(head_dim)
-        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Dropout(0.0)])
-        self.to_add_out = nn.Linear(dim, dim)
-        self.processor = None
-
-    def forward(self, **kwargs):
-        return self.processor(self, **kwargs)
-
-
-class _FluxTransformerBlock(nn.Module):
-    """Parent-module layout the reference block subclasses: norm1 /
-    norm1_context (AdaLN-Zero), attn, norm2 / norm2_context (plain LN,
-    no affine), ff / ff_context (GELU-tanh MLP)."""
-
-    def __init__(self, dim, num_attention_heads, attention_head_dim):
-        super().__init__()
-        self.norm1 = _AdaLayerNormZero(dim)
-        self.norm1_context = _AdaLayerNormZero(dim)
-        self.attn = _Attention(dim, num_attention_heads, attention_head_dim)
-        self.norm2 = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
-        self.norm2_context = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
-        self.ff = _FeedForward(dim, 4 * dim)
-        self.ff_context = _FeedForward(dim, 4 * dim)
-
-
-def _install_diffusers_stubs():
-    d = types.ModuleType("diffusers")
-    models = types.ModuleType("diffusers.models")
-    transformers_m = types.ModuleType("diffusers.models.transformers")
-    tf_flux = types.ModuleType("diffusers.models.transformers.transformer_flux")
-    attention = types.ModuleType("diffusers.models.attention")
-    embeddings = types.ModuleType("diffusers.models.embeddings")
-    tf_flux.FluxTransformerBlock = _FluxTransformerBlock
-    attention.Attention = _Attention
-    embeddings.apply_rotary_emb = _apply_rotary_emb
-    d.models = models
-    models.transformers = transformers_m
-    models.attention = attention
-    models.embeddings = embeddings
-    transformers_m.transformer_flux = tf_flux
-    for name, mod in (
-        ("diffusers", d),
-        ("diffusers.models", models),
-        ("diffusers.models.transformers", transformers_m),
-        ("diffusers.models.transformers.transformer_flux", tf_flux),
-        ("diffusers.models.attention", attention),
-        ("diffusers.models.embeddings", embeddings),
-    ):
-        sys.modules.setdefault(name, mod)
-
-
 def _load_reference_block_module():
-    _install_diffusers_stubs()
-    spec = importlib.util.spec_from_file_location(
-        "ref_concept_block", REF_BLOCK_FILE
+    from tests._diffusers_stubs import load_reference_module
+
+    return load_reference_module(
+        "flux_dit_block_with_concept_attention.py",
+        "synth_sod.data_generation.concept_attention."
+        "flux_dit_block_with_concept_attention",
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
 
 
 def _torch_block_state_dict_as_diffusers(block) -> dict:
