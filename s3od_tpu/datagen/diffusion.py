@@ -47,9 +47,11 @@ def calculate_shift(
     base_shift: float = 0.5,
     max_shift: float = 1.15,
 ) -> float:
-    """FLUX mu-shift: linear in sequence length between the anchors."""
+    """FLUX mu-shift: linear in sequence length between the anchors,
+    CLAMPED to [base_shift, max_shift] (`data_generation/pipeline.py:
+    119-127`: mu = max(base, min(max, seq_len*m + b)))."""
     m = (max_shift - base_shift) / (max_seq - base_seq)
-    return seq_len * m + (base_shift - m * base_seq)
+    return max(base_shift, min(max_shift, seq_len * m + (base_shift - m * base_seq)))
 
 
 def shifted_sigmas(num_steps: int, mu: float) -> np.ndarray:
@@ -113,12 +115,14 @@ def make_img_ids(ph: int, pw: int) -> np.ndarray:
 
 
 def compress_features(feat, groups: int = 4):
-    """hidden 3072 -> 768 by mean over `groups` channel groups
-    (`data_generation/pipeline.py:154-165`)."""
+    """hidden 3072 -> 768 by mean over ADJACENT groups of `groups` channels:
+    out[i] = mean(feat[groups*i : groups*(i+1)]) — the reference reshapes
+    (seq, new_C, 4) and means the LAST axis
+    (`data_generation/pipeline.py:160-165`)."""
     import jax.numpy as jnp
 
     b, n, c = feat.shape
-    return jnp.mean(feat.reshape(b, n, groups, c // groups), axis=2)
+    return jnp.mean(feat.reshape(b, n, c // groups, groups), axis=-1)
 
 
 # ----------------------------------------------------------------------------

@@ -102,6 +102,10 @@ def test_latent_packing_roundtrip():
 def test_scheduler_shift_monotonic():
     assert calculate_shift(256) == pytest.approx(0.5)
     assert calculate_shift(4096) == pytest.approx(1.15)
+    # Reference CLAMPS mu to [base_shift, max_shift]
+    # (`data_generation/pipeline.py:126`): tiny/huge canvases saturate.
+    assert calculate_shift(16) == pytest.approx(0.5)
+    assert calculate_shift(8192) == pytest.approx(1.15)
     s = shifted_sigmas(28, calculate_shift(1024))
     assert len(s) == 28 and s[0] > s[-1] > 0
     sched = FlowMatchSchedule(s)
@@ -109,6 +113,20 @@ def test_scheduler_shift_monotonic():
     v = np.ones_like(x)
     stepped = sched.step(x, v, 0)
     assert np.all(stepped < x)  # sigma decreasing -> negative increment
+
+
+def test_compress_features_matches_reference_grouping():
+    """3072->768 averages ADJACENT channel quads: the reference reshapes
+    (seq, new_C, 4) and means the last axis
+    (`data_generation/pipeline.py:160-165`)."""
+    from s3od_tpu.datagen.diffusion import compress_features
+
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((2, 5, 3072)).astype(np.float32)
+    got = np.asarray(compress_features(jnp.asarray(feat)))
+    # Reference math, verbatim semantics:
+    want = feat[:, :, : 768 * 4].reshape(2, 5, 768, 4).mean(axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_pipeline_t2i_and_extraction(tiny):
