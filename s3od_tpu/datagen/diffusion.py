@@ -443,17 +443,20 @@ class ConceptAttentionPipeline:
         width: int,
         **kw,
     ) -> ConceptAttentionOutput:
-        """Single-step img2img noise inversion at the LAST timestep with the
-        concept stream active (teacher path, `model_training/predictor.py:
-        115-178`, `feature_extraction.py:69-173`)."""
-        steps = self.num_inference_steps
+        """Single-step img2img noise inversion at the LAST timestep of a
+        50-STEP schedule with the concept stream active — both reference
+        extraction paths hard-code scheduler.set_timesteps(50) and invert at
+        its final (smallest-sigma) timestep (`model_training/predictor.py:
+        115-178`, `feature_extraction.py:66-111`)."""
+        steps = 50
         old = self.concept_timesteps
         self.concept_timesteps = [steps - 1]
         try:
             return self(
                 prompt, height=height, width=width,
                 init_image_latents=image_latents,
-                strength_step=steps - 1, concepts=list(concepts), **kw,
+                strength_step=steps - 1, num_inference_steps=steps,
+                concepts=list(concepts), **kw,
             )
         finally:
             self.concept_timesteps = old
