@@ -17,34 +17,48 @@ from typing import Callable, Dict, List, Optional
 
 
 class PromptEnhancer:
-    """Stochastic prompt suffixes (`prompt_generator.py:9-55` behavior)."""
+    """Stochastic prompt suffixes (`prompt_generator.py:9-55`).
+
+    The term lists and per-group probabilities are the reference's exact
+    FLUX-bias countermeasures (config constants: daylight/neutral color
+    terms against the brownish bias, deep-depth-of-field terms against
+    bokeh) — the paper's synthetic-data recipe depends on them."""
 
     COLOR = [
-        "vibrant colors", "muted tones", "rich color palette",
-        "natural colors", "warm tones", "cool tones",
+        "natural colors", "vibrant colors", "true colors",
+        "balanced color temperature", "daylight color balance",
+        "neutral white balance", "clear colors",
     ]
     CLARITY = [
-        "sharp focus", "high detail", "crisp details", "finely detailed",
+        "sharp details", "clear image", "no filter", "natural lighting",
+        "unprocessed", "raw photo style", "clean image",
     ]
     LIGHTING = [
-        "soft lighting", "dramatic lighting", "natural light",
-        "golden hour light", "studio lighting", "diffuse light",
+        "bright daylight", "cool lighting", "blue hour lighting",
+        "overcast lighting", "studio lighting", "fluorescent lighting",
+        "LED lighting",
     ]
     COMPLEXITY = [
-        "complex background", "cluttered scene", "minimal background",
-        "busy environment", "textured backdrop",
+        "sharp focus throughout", "everything in focus",
+        "deep depth of field", "no bokeh", "complex background",
+        "detailed background", "cluttered scene", "busy environment",
+        "multiple objects", "overlapping elements", "textured surfaces",
     ]
+    # (group, probability) in the reference's application order.
+    GROUPS = (
+        (COLOR, 0.3), (CLARITY, 0.25), (LIGHTING, 0.2), (COMPLEXITY, 0.25),
+    )
 
-    def __init__(self, p_each: float = 0.5, seed: Optional[int] = None):
-        self.p_each = p_each
+    def __init__(self, p_each: Optional[float] = None,
+                 seed: Optional[int] = None):
+        self.p_each = p_each  # None -> the reference's per-group values
         self.rng = random.Random(seed)
 
     def enhance(self, prompt: str) -> str:
-        extras = [
-            self.rng.choice(group)
-            for group in (self.COLOR, self.CLARITY, self.LIGHTING, self.COMPLEXITY)
-            if self.rng.random() < self.p_each
-        ]
+        extras = []
+        for group, p in self.GROUPS:
+            if self.rng.random() < (self.p_each if self.p_each is not None else p):
+                extras.append(self.rng.choice(group))
         return ", ".join([prompt] + extras) if extras else prompt
 
 
