@@ -31,23 +31,34 @@ def _overlay_panel(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return np.concatenate([image, overlay], axis=1)
 
 
-def _parse_json_verdict(text: str, key: str) -> Optional[bool]:
+def _parse_json(text: str) -> Optional[dict]:
+    """Extract the first {...} JSON object, tolerating ```json fences
+    (reference `vlm_filter.py:176-193`)."""
+    text = text.replace("```json", "").replace("```", "").strip()
     try:
         m = re.search(r"\{.*\}", text, re.DOTALL)
         if m:
             data = json.loads(m.group(0))
-            if key in data:
-                v = data[key]
-                if isinstance(v, bool):
-                    return v
-                if isinstance(v, str):
-                    return v.strip().lower() in ("yes", "true", "good", "pass")
+            if isinstance(data, dict):
+                return data
     except json.JSONDecodeError:
         pass
+    return None
+
+
+def _as_bool(v, default: Optional[bool] = None) -> Optional[bool]:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        return v.strip().lower() in ("yes", "true", "good", "pass")
+    return default
+
+
+def _keyword_verdict(text: str) -> Optional[bool]:
     low = text.lower()
-    if any(w in low for w in ("yes", "good", "acceptable", "pass")):
+    if any(w in low for w in ("yes", "good", "acceptable", "pass", "true")):
         return True
-    if any(w in low for w in ("no", "bad", "poor", "fail")):
+    if any(w in low for w in ("no", "bad", "poor", "fail", "false")):
         return False
     return None
 
@@ -91,14 +102,27 @@ class _LazyVLM:
 
 
 class GemmaSemanticFilter(BaseFilter):
-    """Salient-object presence + mask coverage (`vlm_filter.py:101-132`)."""
+    """Salient-object presence + mask coverage (`vlm_filter.py:101-132`).
+
+    The JSON contract is the reference's: {"has_salient_object",
+    "covers_object", "confidence"}; pass requires BOTH booleans
+    (`vlm_filter.py:215-219`). Coverage criterion: red overlay captures
+    >70% of the main object, not mostly background."""
 
     PROMPT = (
-        "The left half shows an image; the right half shows the same image "
-        "with a segmentation mask overlaid in red. Answer in JSON: "
-        '{"acceptable": true/false} — true only if the image contains one '
-        "clear salient foreground object AND the red mask covers exactly "
-        "that object (not background, not a fragment)."
+        "You are evaluating image segmentation for semantic correctness.\n"
+        "The 2-panel image shows LEFT: the original image, RIGHT: the same "
+        "image with the segmentation mask overlaid in red.\n"
+        "Respond with ONLY this JSON format:\n"
+        '{"has_salient_object": true/false, "covers_object": true/false, '
+        '"confidence": 0.0-1.0}\n'
+        "has_salient_object: is there a clear, distinct main foreground "
+        "object that should be segmented (not a pure landscape, texture, "
+        "or empty background)?\n"
+        "covers_object: does the red area cover the majority (>70%) of the "
+        "main object and follow its boundaries reasonably, rather than "
+        "missing major parts or capturing mostly background?\n"
+        "Focus on overall semantic correctness, not fine details."
     )
 
     def __init__(self, name: str = "semantic_quality",
@@ -114,7 +138,13 @@ class GemmaSemanticFilter(BaseFilter):
         mask = sample.load_mask()
         answer = self.vlm.ask(_overlay_panel(image, mask), self.PROMPT)
         if answer is not None:
-            verdict = _parse_json_verdict(answer, "acceptable")
+            data = _parse_json(answer)
+            if data is not None:
+                has_obj = _as_bool(data.get("has_salient_object"), False)
+                covers = _as_bool(data.get("covers_object"), False)
+                verdict = bool(has_obj and covers)
+            else:
+                verdict = _keyword_verdict(answer)
             if verdict is not None:
                 return FilterResult(
                     passed=verdict,
@@ -133,13 +163,23 @@ class GemmaSemanticFilter(BaseFilter):
 
 
 class GemmaMaskArtifactFilter(BaseFilter):
-    """Mask fragmentation / artifact check (`vlm_filter.py:328-361`)."""
+    """Mask fragmentation / artifact check (`vlm_filter.py:328-361`).
+
+    JSON contract: {"is_clean_mask": true/false, "confidence": 0.0-1.0};
+    fail on severe fragmentation (>10 disconnected blobs), salt-and-pepper
+    noise, or hole-riddled regions; pass 1-5 solid components with minor
+    roughness."""
 
     PROMPT = (
-        "This is a binary segmentation mask (white = object). Answer in "
-        'JSON: {"clean": true/false} — true only if the mask is one '
-        "coherent object silhouette without scattered fragments, holes "
-        "or noise speckles."
+        "You are evaluating ONLY segmentation-mask quality for artifacts.\n"
+        "The image is a binary mask (white = object, black = background).\n"
+        "Respond with ONLY this JSON format:\n"
+        '{"is_clean_mask": true/false, "confidence": 0.0-1.0}\n'
+        "Mark FALSE for severe fragmentation (more than 10 disconnected "
+        "white blobs), salt-and-pepper noise, or large white regions full "
+        "of black holes. Mark TRUE for 1-5 solid connected components with "
+        "only minor edge roughness or a few small extra pieces. Be strict "
+        "about obvious fragmentation but accept minor imperfections."
     )
 
     def __init__(self, name: str = "mask_artifacts",
@@ -155,7 +195,11 @@ class GemmaMaskArtifactFilter(BaseFilter):
         rgb = np.stack([mask] * 3, axis=-1)
         answer = self.vlm.ask(rgb, self.PROMPT)
         if answer is not None:
-            verdict = _parse_json_verdict(answer, "clean")
+            data = _parse_json(answer)
+            if data is not None:
+                verdict = _as_bool(data.get("is_clean_mask"), False)
+            else:
+                verdict = _keyword_verdict(answer)
             if verdict is not None:
                 return FilterResult(
                     passed=verdict,

@@ -31,7 +31,17 @@ import numpy as np
 import yaml
 
 from s3od_tpu.datagen.prompts import FilePromptProvider, ImagePromptGenerator
-from s3od_tpu.datagen.resizer import RESOLUTION_BUCKETS
+# Generation samples from a DIFFERENT, gentler-aspect list than the
+# resizer's feature-extraction buckets (`generate_train_images.py:21-33`
+# FLUX_RESOLUTIONS, (width, height) pairs).
+GENERATION_RESOLUTIONS = [
+    (1024, 1024),
+    (896, 1024), (1024, 896),
+    (832, 1024), (1024, 832),
+    (1024, 768), (768, 1024),
+    (960, 1024), (1024, 960),
+    (1088, 1024), (1024, 1088),
+]
 from s3od_tpu.datagen.sharding import detect_task, task_slice
 
 logger = logging.getLogger("s3od_tpu.datagen")
@@ -152,7 +162,7 @@ class ImageMaskGenerationPipeline:
                 done += 1
                 continue
             try:
-                h, w = rng.choice(RESOLUTION_BUCKETS)
+                w, h = rng.choice(GENERATION_RESOLUTIONS)
                 seed = rng.randrange(2**31)
                 image, feats, cmaps = self.backend.generate(
                     prompt, class_name, h, w, seed
