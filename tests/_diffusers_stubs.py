@@ -388,14 +388,20 @@ def load_reference_module(filename: str, qualname: str):
     WITHOUT executing the package __init__ (which imports the full
     diffusers pipeline stack)."""
     install()
-    for pkg in (
-        "synth_sod",
-        "synth_sod.data_generation",
-        "synth_sod.data_generation.concept_attention",
+    # Package stubs with REAL search paths: sibling subpackages (e.g.
+    # synth_sod.model_training, imported by other oracle tests) still
+    # resolve normally, while the concept_attention __init__ (which pulls
+    # the full diffusers pipeline stack) is never executed because the
+    # sys.modules entry pre-empts it.
+    ref_root = REF_CA_DIR.parent.parent  # .../src/synth_sod
+    for pkg, path in (
+        ("synth_sod", ref_root),
+        ("synth_sod.data_generation", ref_root / "data_generation"),
+        ("synth_sod.data_generation.concept_attention", REF_CA_DIR),
     ):
         if pkg not in sys.modules:
             stub = types.ModuleType(pkg)
-            stub.__path__ = []  # mark as package
+            stub.__path__ = [str(path)]
             sys.modules[pkg] = stub
     spec = importlib.util.spec_from_file_location(
         qualname, REF_CA_DIR / filename
