@@ -49,13 +49,24 @@ def resolve_datasets(spec: str) -> List[str]:
     return [d.strip() for d in spec.split(",")]
 
 
+# Prompt contracts from the reference (`generate_test_metadata.py:64-130`):
+# captions are 1-2 sentences covering subjects/colors/composition/setting;
+# tags are 1-2 word HIGH-LEVEL class names (no articles or adjectives).
 CAPTION_PROMPT = (
-    "Describe this image in one or two sentences, focusing on the main "
-    "salient object and the scene."
+    "You are an expert image captioning model. Analyze the image and give "
+    "a detailed, accurate description that: is 1-2 sentences long; "
+    "describes the main subjects, objects, and scene elements; includes "
+    "relevant details about colors, composition, and setting; focuses on "
+    "what is actually visible. Provide only the caption without any "
+    "additional text."
 )
 TAG_PROMPT = (
-    "Name the main salient object in this image in one or two words. "
-    "Reply with just the class name."
+    "You are an expert object detection model. Identify the main "
+    "foreground object and give a short, high-level class name: 1-2 words "
+    "maximum, a high-level category (e.g. 'dog' not 'labrador'), the most "
+    "prominent/central subject if several, simple common English words, "
+    "no articles or descriptive adjectives. Respond with ONLY the object "
+    "class name, nothing else."
 )
 
 
