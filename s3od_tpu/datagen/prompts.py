@@ -88,6 +88,23 @@ def template_prompts(class_name: str, n: int, seed: int = 0) -> List[str]:
     return out
 
 
+def _parse_prompt_list(text: str) -> List[str]:
+    """Parse the LLM's Python-list response (the reference evals the
+    bracketed slice, `prompt_generator.py:111-117`; we use literal_eval
+    with a line-split fallback)."""
+    import ast
+
+    start, end = text.find("["), text.rfind("]") + 1
+    if 0 <= start < end:
+        try:
+            parsed = ast.literal_eval(text[start:end])
+            if isinstance(parsed, list):
+                return [str(p).strip() for p in parsed if str(p).strip()]
+        except (ValueError, SyntaxError):
+            pass
+    return [ln.strip().strip('",') for ln in text.splitlines() if ln.strip()]
+
+
 class ImagePromptGenerator:
     """LLM-backed prompt generation with offline fallback.
 
@@ -96,10 +113,31 @@ class ImagePromptGenerator:
     """
 
     SYSTEM = (
-        "You generate diverse, photorealistic image-description prompts for "
-        "a text-to-image model. Each prompt depicts exactly one salient "
-        "instance of the requested object class in a varied, realistic "
-        "scene. Reply with one prompt per line, no numbering."
+        "You are a helpful assistant that generates image prompts for a "
+        "salient object detection synthetic data generation pipeline."
+    )
+    # The reference's diversity contract (`prompt_generator.py:63-93`):
+    # photorealistic only, sharp focus, varied object count/size/position,
+    # mixed scene complexity, lighting/environment/perspective/context
+    # diversity, some occlusion/camouflage challenges; returned as a
+    # Python list literal.
+    USER_TEMPLATE = (
+        "Generate exactly {n} diverse, photorealistic prompts for "
+        "{cls} images for salient object detection. Create natural scenes "
+        "with varying complexity levels.\n"
+        "Requirements: photorealistic scenes only (no artistic or cartoon "
+        "styles); main object clearly visible and identifiable; sharp "
+        "focus throughout; natural lighting and environments.\n"
+        "Vary across prompts: object sizes, positions, quantities (1-3), "
+        "conditions and orientations; simple through cluttered "
+        "backgrounds; daylight, golden hour, overcast, indoor lighting; "
+        "indoor/outdoor environments and natural habitats; some partial "
+        "occlusion, similar colors, reflective surfaces or camouflage "
+        "where natural; close-ups through wide views and varied camera "
+        "angles; objects in use, at rest, in groups, across weather and "
+        "times of day. Maximize diversity — avoid repetitive scenarios.\n"
+        'Return exactly {n} prompts as a Python list: '
+        '["A scene description...", ...]'
     )
 
     def __init__(self, llm_fn: Optional[Callable[[str, str], str]] = None,
@@ -111,12 +149,9 @@ class ImagePromptGenerator:
     def generate(self, class_name: str, n: int) -> List[str]:
         if self.llm_fn is None:
             return template_prompts(class_name, n, self.seed)
-        user = (
-            f"Generate {n} diverse photorealistic prompts featuring a "
-            f"'{class_name}' as the single salient object."
-        )
+        user = self.USER_TEMPLATE.format(n=n, cls=class_name)
         text = self.llm_fn(self.SYSTEM, user)
-        prompts = [ln.strip() for ln in text.splitlines() if ln.strip()][:n]
+        prompts = _parse_prompt_list(text)[:n]
         while len(prompts) < n:
             prompts.append(template_prompts(class_name, 1, self.seed + len(prompts))[0])
         return [self.enhancer.enhance(p) for p in prompts]
