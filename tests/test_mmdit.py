@@ -16,7 +16,6 @@ from s3od_tpu.datagen.diffusion import (
     unpack_latents,
 )
 from s3od_tpu.models.mmdit import (
-    concept_heatmaps,
     init_mmdit_params,
     minmax_normalize,
     mmdit_forward,
