@@ -195,6 +195,10 @@ def main():
 
     if child_mode:
         # Report to the parent and stop: no e2e phase, no final JSON line.
+        if probe is None:  # batch-1 failed -> nothing to validate against
+            print("child: batch-1 measurement failed, no probe",
+                  file=sys.stderr)
+            sys.exit(1)
         print(_CHILD_MARK + json.dumps({
             "best": best,
             "best_batch": best_batch,
@@ -205,10 +209,11 @@ def main():
     flags_note = "baseline"
     baseline_best = best
     wins = []
-    for name, flag_env in (
+    combos = () if probe is None else (
         ("winograd", {"S3OD_WINOGRAD": "1"}),
         ("mlp_fused", {"S3OD_MLP_FUSED": "1"}),
-    ):
+    )  # no batch-1 probe -> nothing to validate children against
+    for name, flag_env in combos:
         got = _try_gated_combo(name, flag_env, probe)
         if got is not None and got["best"] > baseline_best:
             wins.append(name)

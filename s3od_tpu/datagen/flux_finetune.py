@@ -46,7 +46,15 @@ def collect_samples(input_dir: str, datasets: List[str],
     return samples
 
 
-def run(config_path: str) -> str:
+def run(config_path: str, *, _mmdit_cfg=None, _vae=None, _text=None,
+        _resizer=None) -> str:
+    """Run LoRA finetuning from a YAML config.
+
+    The underscore kwargs inject tiny-config substitutes so the CLI
+    orchestration is testable without the full-size MMDiT/VAE weights or
+    the gated CLIP/T5 downloads (same pattern as
+    `evaluation.test_efficiency.run_benchmark`'s ``_predictor``).
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -64,12 +72,15 @@ def run(config_path: str) -> str:
     from s3od_tpu.models.vae import VAE, VAEConfig
 
     cfg = yaml.safe_load(Path(config_path).read_text())
-    mmdit_cfg = MMDiTConfig()
+    mmdit_cfg = _mmdit_cfg or MMDiTConfig()
     params, _ = load_native(cfg["flux_checkpoint"])
-    tree, _ = load_native(cfg["vae_checkpoint"])
-    vae = VAE(tree["enc"], tree["dec"], VAEConfig())
-    text = TextEncoders()
-    resizer = FluxResizer()
+    if _vae is not None:
+        vae = _vae
+    else:
+        tree, _ = load_native(cfg["vae_checkpoint"])
+        vae = VAE(tree["enc"], tree["dec"], VAEConfig())
+    text = _text or TextEncoders()
+    resizer = _resizer or FluxResizer()
 
     lcfg = LoRAConfig(rank=int(cfg.get("rank", 16)))
     lora = init_lora_params(jax.random.key(0), params, lcfg)
@@ -87,15 +98,19 @@ def run(config_path: str) -> str:
     for it in range(steps):
         s = rng.choice(samples)
         image = np.array(Image.open(s["image"]).convert("RGB"))
-        resized, (th, tw) = resizer.resize_image(image)
-        latents = vae.encode(resized)
-        packed = pack_latents(jnp.asarray(latents))
+        resized, _ = resizer.resize_image(image)
+        latents = jnp.asarray(vae.encode(resized))
+        packed = pack_latents(latents)
         t5, pooled = text.encode([s["caption"]])
+        # RoPE position grid must match the PACKED latent grid (latents are
+        # 2x2-packed after the VAE downsample; for the production VAE this
+        # is image/16, but derive it so any VAE config stays consistent).
+        ph, pw = latents.shape[1] // 2, latents.shape[2] // 2
         batch = {
             "latents": packed,
             "txt": jnp.asarray(t5),
             "pooled": jnp.asarray(pooled),
-            "img_ids": jnp.asarray(make_img_ids(th // 16, tw // 16)),
+            "img_ids": jnp.asarray(make_img_ids(ph, pw)),
             "txt_ids": jnp.zeros((t5.shape[1], 3), jnp.float32),
         }
         lora, opt_state, loss = step(lora, opt_state, params, batch,

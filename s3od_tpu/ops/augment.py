@@ -839,10 +839,11 @@ def augment_batch(
 
     # 6. colorspace swap (rare)
     g = _gate(keys[21], b, 0.05)
-    pick = _one_of(keys[22], b, [0.5, 0.5, 0.3])
+    kpick, kshuf = jax.random.split(keys[22])
+    pick = _one_of(kpick, b, [0.5, 0.5, 0.3])
     y = _pick(pick, 0, x, to_sepia(x))
     y = _pick(pick, 1, y, to_gray(x))
-    y = _pick(pick, 2, y, channel_shuffle(keys[22], x))
+    y = _pick(pick, 2, y, channel_shuffle(kshuf, x))
     x = _apply_gated(x, y, g)
 
     # 8./9. relief + weather (7. distortion already fused in the warp)

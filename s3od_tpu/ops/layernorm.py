@@ -151,18 +151,16 @@ def layer_norm(
     rows = 1
     for s in x.shape[:-1]:
         rows *= s
+    block_rows = _pick_rows(rows)
     use_pallas = impl == "pallas"
     if impl == "auto":
         use_pallas = (
             _pallas_available()
             and x.dtype == jnp.bfloat16
             and c % 128 == 0
-            and _pick_rows(rows) >= 128
+            and block_rows >= 128
         )
-    if not use_pallas:
-        return _xla_layer_norm(x, weight, bias, eps)
-    block_rows = _pick_rows(rows)
-    if block_rows < 8:
+    if not use_pallas or block_rows < 8:  # < 8: no tileable row block
         return _xla_layer_norm(x, weight, bias, eps)
     out = _ln_pallas(x.reshape(rows, c), weight, bias, eps, block_rows,
                      interpret)

@@ -85,32 +85,26 @@ def resample_rows_matmul(x: jax.Array, src: jax.Array,
     grid distortion — rides the MXU instead: out = M @ x with
     M[j,k] = max(0, 1-|src_j - k|) (linear) or one-hot(round(src)) (nearest).
     """
-    h = x.shape[1]
-    k = jnp.arange(h, dtype=jnp.float32)
+    return _resample_matmul(x, src, method, x.shape[1], "bjk,bkwc->bjwc")
+
+
+def resample_cols_matmul(x: jax.Array, src: jax.Array,
+                         method: str = "linear") -> jax.Array:
+    """As `resample_rows_matmul` but along axis 2."""
+    return _resample_matmul(x, src, method, x.shape[2], "bjk,bhkc->bhjc")
+
+
+def _resample_matmul(x, src, method, n, einsum_spec):
+    k = jnp.arange(n, dtype=jnp.float32)
     if method == "nearest":
-        idx = jnp.clip(jnp.round(src), 0, h - 1)
+        idx = jnp.clip(jnp.round(src), 0, n - 1)
         m = (idx[..., None] == k).astype(x.dtype)
     else:
         d = jnp.abs(src[..., None] - k)
         m = jnp.maximum(0.0, 1.0 - d).astype(x.dtype)
         # renormalize edge rows (clipped support)
         m = m / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1e-6)
-    return jnp.einsum("bjk,bkwc->bjwc", m, x)
-
-
-def resample_cols_matmul(x: jax.Array, src: jax.Array,
-                         method: str = "linear") -> jax.Array:
-    """As `resample_rows_matmul` but along axis 2."""
-    w = x.shape[2]
-    k = jnp.arange(w, dtype=jnp.float32)
-    if method == "nearest":
-        idx = jnp.clip(jnp.round(src), 0, w - 1)
-        m = (idx[..., None] == k).astype(x.dtype)
-    else:
-        d = jnp.abs(src[..., None] - k)
-        m = jnp.maximum(0.0, 1.0 - d).astype(x.dtype)
-        m = m / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1e-6)
-    return jnp.einsum("bjk,bhkc->bhjc", m, x)
+    return jnp.einsum(einsum_spec, m, x)
 
 
 def base_grid(h: int, w: int, dtype=jnp.float32) -> jax.Array:

@@ -226,10 +226,14 @@ def _forward(x, w, b, interpret):
 
 
 def _reference(x, w, b):
+    from s3od_tpu.ops.precision import dot_precision
+
+    w = w.astype(x.dtype)
     y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=(1, 1),
+        x, w, window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=dot_precision(x, w),  # exact-mode rule (ops/precision.py)
     )
     return y + b.astype(x.dtype)
 

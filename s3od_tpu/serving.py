@@ -43,6 +43,7 @@ class InferenceServer:
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batch_size_sum": 0}
 
     # ------------------------------------------------------------------
@@ -60,18 +61,29 @@ class InferenceServer:
             self._thread.join(timeout=5)
             self._thread = None
         # Fail any still-queued requests: their submit() callers block on
-        # Future.result() forever otherwise.
-        while True:
-            try:
-                _, _, fut = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.done():
-                fut.set_exception(RuntimeError("server stopped"))
+        # Future.result() forever otherwise. Taking the submit lock orders
+        # this drain after any in-flight submit_async put.
+        with self._submit_lock:
+            while True:
+                try:
+                    _, _, fut = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not fut.done():
+                    fut.set_exception(RuntimeError("server stopped"))
 
     def submit_async(self, image: np.ndarray, threshold: float = 0.5) -> Future:
-        fut: Future = Future()
-        self._queue.put((image, threshold, fut))
+        # Fast-fail after stop(): a request enqueued after (or racing with)
+        # stop()'s drain would otherwise never complete and its caller would
+        # block on Future.result() forever. The lock spans check+put so a
+        # submit can't slip between stop()'s flag-set and its queue drain
+        # (which takes the same lock). Submitting before start() stays legal
+        # (requests queue up until the worker starts).
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("server stopped")
+            fut: Future = Future()
+            self._queue.put((image, threshold, fut))
         return fut
 
     def submit(self, image: np.ndarray, threshold: float = 0.5):

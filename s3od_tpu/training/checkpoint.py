@@ -53,9 +53,11 @@ class CheckpointManager:
             self._ckptr = ocp.StandardCheckpointer()
         return self._ckptr
 
-    def _save_tree(self, path: Path, tree) -> None:
-        """Synchronous standalone save (external/export checkpoints — not
-        part of the last/top-k bookkeeping)."""
+    def save_tree(self, path: Path, tree) -> None:
+        """Synchronous standalone save, NOT part of the last/top-k
+        bookkeeping: writes a bare orbax checkpoint dir in exactly the
+        layout `train.ckpt_restore_external` consumes (the reference's
+        external-`checkpoint_path` workflow, `train.py:127-133`)."""
         self.ckptr.wait_until_finished()
         if path.exists():
             shutil.rmtree(path)

@@ -134,6 +134,17 @@ def host_geometric(
         mask = cv2.remap(mask, map_x, map_y, cv2.INTER_NEAREST,
                          borderMode=border)
 
+    # Rotate BEFORE the distortion OneOf: the reference's geometric block
+    # (incl. Rotate, `transforms.py:31-42`) precedes the synthetic-mode
+    # distortions (`:159-178`), and the device path composes the same way.
+    if rng.random() < p_rotate:
+        ang = rng.uniform(-rotate_limit, rotate_limit)
+        m = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), ang, 1.0)
+        image = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR,
+                               borderMode=border)
+        mask = cv2.warpAffine(mask, m, (w, h), flags=cv2.INTER_NEAREST,
+                              borderMode=border)
+
     if mode == "synthetic" and rng.random() < p_distort:
         # normalized OneOf weights .3/.3/.2/.15
         r = rng.random() * 0.95
@@ -186,14 +197,6 @@ def host_geometric(
                 mask, m, (w, h),
                 flags=cv2.INTER_NEAREST | cv2.WARP_INVERSE_MAP,
                 borderMode=border)
-
-    if rng.random() < p_rotate:
-        ang = rng.uniform(-rotate_limit, rotate_limit)
-        m = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), ang, 1.0)
-        image = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR,
-                               borderMode=border)
-        mask = cv2.warpAffine(mask, m, (w, h), flags=cv2.INTER_NEAREST,
-                              borderMode=border)
 
     return image, mask
 

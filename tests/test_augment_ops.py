@@ -303,6 +303,36 @@ def test_host_geometric_mask_follows_image():
     assert changed > 10  # the warps actually fire
 
 
+def test_host_geometric_rotates_before_distortion(monkeypatch):
+    """The reference applies Rotate (geometric block, transforms.py:31-42)
+    BEFORE the synthetic distortion OneOf (:159-178), as does the device
+    warp path — the host path must compose in the same order."""
+    import random as pyrandom
+
+    cv2 = pytest.importorskip("cv2")
+    import s3od_tpu.training.data as data_mod
+
+    calls = []
+    real_affine, real_remap = cv2.warpAffine, cv2.remap
+    real_persp = cv2.warpPerspective
+    monkeypatch.setattr(cv2, "warpAffine", lambda *a, **k: (
+        calls.append("rotate"), real_affine(*a, **k))[1])
+    monkeypatch.setattr(cv2, "remap", lambda *a, **k: (
+        calls.append("distort"), real_remap(*a, **k))[1])
+    monkeypatch.setattr(cv2, "warpPerspective", lambda *a, **k: (
+        calls.append("distort"), real_persp(*a, **k))[1])
+
+    img = np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3), dtype=np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    rng = pyrandom.Random(3)
+    for _ in range(5):
+        calls.clear()
+        data_mod.host_geometric(img, mask, rng, "synthetic",
+                                p_rotate=1.0, p_distort=1.0)
+        assert calls[0] == "rotate" and "distort" in calls, calls
+
+
 def test_host_geometric_noop_probabilities():
     import random as pyrandom
 

@@ -120,7 +120,7 @@ def test_resume_epoch_from_step_without_index(tmp_path, state):
                      opt_state=ts.opt_state,
                      step=jnp.asarray(35, jnp.int32))
     # save into a bare directory (no index.json next to it)
-    mgr._save_tree(tmp_path / "external" / "ckpt", {
+    mgr.save_tree(tmp_path / "external" / "ckpt", {
         "params": ts3.params, "bn_state": ts3.bn_state,
         "opt_state": ts3.opt_state, "step": ts3.step,
     })

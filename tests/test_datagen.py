@@ -154,3 +154,71 @@ def test_mine_samples_allocation():
     assert alloc["hard"] > alloc["mid"] > alloc["easy"]
     unstable, stable = analyze_stability(scores, n_categories=1)
     assert unstable == ["hard"] and stable == ["easy"]
+
+
+def test_flux_finetune_cli_end_to_end(tmp_path):
+    """LoRA-finetune CLI orchestration (`datagen/flux_finetune.py`, reference
+    `data_generation/flux_finetune/`): collect captioned samples, run
+    rectified-flow LoRA steps on a tiny MMDiT + VAE, write the LoRA npz."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from s3od_tpu.convert import load_native, save_native
+    from s3od_tpu.datagen.flux_finetune import collect_samples, run
+    from s3od_tpu.models.mmdit import init_mmdit_params, tiny_mmdit_config
+    from s3od_tpu.models.vae import VAE, init_vae_params, tiny_vae_config
+    from PIL import Image
+
+    # dataset: one 64px image + caption metadata in the reference layout
+    ds_dir = tmp_path / "data" / "demo" / "images"
+    ds_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    ).save(ds_dir / "a.png")
+    meta_dir = tmp_path / "meta" / "demo"
+    meta_dir.mkdir(parents=True)
+    (meta_dir / "captions.json").write_text(json.dumps(
+        [{"image_path": "a.png", "caption": "a red ball on grass"}]))
+
+    samples = collect_samples(
+        str(tmp_path / "data"), ["demo"], str(tmp_path / "meta"))
+    assert len(samples) == 1
+    assert samples[0]["caption"] == "a red ball on grass"
+
+    mmdit_cfg = tiny_mmdit_config()
+    save_native(str(tmp_path / "mmdit.npz"),
+                init_mmdit_params(jax.random.key(0), mmdit_cfg))
+    enc, dec = init_vae_params(jax.random.key(1), tiny_vae_config())
+    vae = VAE(enc, dec, tiny_vae_config(), dtype=jnp.float32)
+
+    class StubText:
+        def encode(self, prompts):
+            r = np.random.default_rng(len(prompts))
+            return (r.standard_normal((len(prompts), 6, mmdit_cfg.text_dim))
+                    .astype(np.float32),
+                    r.standard_normal((len(prompts), mmdit_cfg.pooled_dim))
+                    .astype(np.float32))
+
+    class StubResizer:
+        def resize_image(self, image):
+            return image, image.shape[:2]
+
+    cfg = {
+        "flux_checkpoint": str(tmp_path / "mmdit.npz"),
+        "input_dir": str(tmp_path / "data"),
+        "datasets": ["demo"],
+        "metadata_dir": str(tmp_path / "meta"),
+        "rank": 2,
+        "steps": 2,
+        "out_lora": str(tmp_path / "lora.npz"),
+    }
+    cfg_path = tmp_path / "finetune.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    out = run(str(cfg_path), _mmdit_cfg=mmdit_cfg, _vae=vae,
+              _text=StubText(), _resizer=StubResizer())
+    lora, _ = load_native(out)
+    leaves = jax.tree.leaves(lora)
+    assert leaves and all(np.all(np.isfinite(np.asarray(x))) for x in leaves)

@@ -168,3 +168,7 @@ def test_server_stop_fails_queued_requests():
     server.stop()
     with pytest.raises(RuntimeError, match="server stopped"):
         fut.result(timeout=5)
+    # submitting AFTER stop() must fast-fail instead of enqueueing a
+    # request no worker will ever drain (submit() would hang forever)
+    with pytest.raises(RuntimeError, match="server stopped"):
+        server.submit_async(np.zeros((8, 8, 3), np.uint8))
