@@ -80,6 +80,56 @@ def _train_leg():
     conv_mod._WINOGRAD_ENABLED = False
 
 
+def _highres_leg():
+    """2048px canvas (the DIS5K eval resolution, BASELINE.md configs):
+    128x128 RoPE grid, 16389 tokens -> the flash kernel's STREAMING
+    multi-K-block path (1024px fits one K block and never exercises it on
+    hardware). Asserts finite outputs and reports throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.segmentation import (
+        init_segmentation_params,
+        segmentation_forward,
+    )
+    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+    from s3od_tpu.profiling import slope_time
+
+    cfg = segmentation_config("dinov3_base")
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    inv_std = 1.0 / (jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0)
+
+    @jax.jit
+    def forward(params, state, images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) * inv_std
+        out, _ = segmentation_forward(
+            params, state, x.astype(jnp.bfloat16), cfg,
+            training=False, compute_dtype=jnp.bfloat16,
+            serving_fast_output=True,
+        )
+        return (jax.nn.sigmoid(out["pred_masks"]),
+                jax.nn.sigmoid(out["pred_iou"]))
+
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.integers(0, 255, (1, 2048, 2048, 3), dtype=np.uint8))
+    masks, ious = forward(params, state, im)
+    m = np.asarray(masks, np.float32)
+    i = np.asarray(ious, np.float32)
+    ok = np.all(np.isfinite(m)) and np.all(np.isfinite(i))
+    print(f"[highres 2048] outputs finite: {bool(ok)}  "
+          f"mask range [{m.min():.3f}, {m.max():.3f}]")
+    rb = lambda out: float(
+        jnp.sum(out[1]) + jnp.sum(out[0][:, ::64, ::64].astype(jnp.float32))
+    )
+    ms = slope_time(lambda: forward(params, state, im), rb,
+                    n_small=2, n_large=6) * 1e3
+    print(f"[highres 2048] batch 1: {ms:.1f} ms/img ({1e3 / ms:.1f} img/s)")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -159,8 +209,13 @@ if __name__ == "__main__":
     ap.add_argument("--train", action="store_true",
                     help="also time the 1024px train step winograd off/on")
     ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--highres", action="store_true",
+                    help="also run the 2048px (DIS5K) canvas: streaming "
+                         "flash path + finite-output check")
     cli = ap.parse_args()
     if not cli.train_only:
         main()
     if cli.train or cli.train_only:
         _train_leg()
+    if cli.highres:
+        _highres_leg()
