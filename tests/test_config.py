@@ -80,3 +80,22 @@ def test_eval_has_no_builtins(config_dir):
     }))
     with pytest.raises(Exception):
         load_config(config_dir=config_dir)
+
+
+def test_dinol_variant_matches_reference_layout():
+    """ViT-L variant (`config/model/dinol.yaml`, reference
+    `src/s3od/model.py:36-40`): 24 layers, hidden 1024, 16 heads, taps
+    [4,11,17,23], and the dead-final-block skip (blocks 0..22 run).
+    Uses the REAL shipped config groups, not the tmp fixture copy."""
+    from s3od_tpu.configs import segmentation_config
+
+    cfg = load_config(overrides=["model=dinol"])
+    assert cfg.model.encoder_name == "dinov3_large"
+    mcfg = segmentation_config(cfg.model.encoder_name)
+    assert mcfg.encoder.num_layers == 24
+    assert mcfg.encoder.hidden_size == 1024
+    assert mcfg.encoder.num_heads == 16
+    assert mcfg.encoder.hidden_size % mcfg.encoder.num_heads == 0
+    assert mcfg.encoder.hidden_size // mcfg.encoder.num_heads == 64  # flash D
+    assert tuple(mcfg.tap_layers) == (4, 11, 17, 23)
+    assert mcfg.num_encoder_layers_used == 23
