@@ -476,3 +476,24 @@ def load_native(path: str):
         flat = {k: z[k] for k in z.files}
     tree = _unflatten(flat)
     return tree["params"], tree.get("state")
+
+
+# hidden size -> named encoder variant (`s3od_tpu/configs.py` family)
+_HIDDEN_TO_ENCODER = {384: "dinov3_small", 768: "dinov3_base",
+                      1024: "dinov3_large"}
+
+
+def load_native_segmentation(path: str):
+    """Load a native .npz segmentation checkpoint and infer its config
+    from the encoder width: -> (params, state, SegmentationConfig).
+    Single source of truth for every predictor's npz-load path."""
+    from s3od_tpu.configs import segmentation_config
+
+    params, state = load_native(str(path))
+    hid = int(np.asarray(params["encoder"]["cls_token"]).shape[-1])
+    if hid not in _HIDDEN_TO_ENCODER:
+        raise ValueError(
+            f"unknown encoder hidden size {hid} in {path}; known: "
+            f"{sorted(_HIDDEN_TO_ENCODER)}"
+        )
+    return params, state, segmentation_config(_HIDDEN_TO_ENCODER[hid])

@@ -226,10 +226,29 @@ class ConceptAttentionPipeline:
             # (reference loads a LoRA into FLUX, `pipeline.py:58-88`).
             from s3od_tpu.datagen.lora import LoRAConfig, merge_lora
 
-            rank = lora["dual_blocks"][0][
-                list(lora["dual_blocks"][0])[0]
-            ]["A"].shape[1]
-            lcfg = LoRAConfig(rank=rank, alpha=lora_scale or float(rank))
+            alpha = lora_scale
+            if isinstance(lora, str):
+                # flux_finetune npz: adapters in params, alpha in state —
+                # so the serve-time merge scale matches training exactly.
+                from s3od_tpu.convert import load_native
+
+                lora, lmeta = load_native(lora)
+                if alpha is None and lmeta:
+                    alpha = float(np.asarray(lmeta.get("alpha")))
+            def _first_a(node):  # first adapter's A: (in, rank)
+                if isinstance(node, dict):
+                    if "A" in node:
+                        return node["A"]
+                    return _first_a(node[next(iter(node))])
+                return _first_a(node[0])
+
+            rank = _first_a(lora["dual_blocks"][0]).shape[1]
+            # Default matches the trainer's LoRAConfig default (alpha=16),
+            # NOT rank: training merges W + (alpha/rank)·A@B and the same
+            # scale must apply here or the adapter strength silently shifts.
+            lcfg = LoRAConfig(
+                rank=rank, alpha=16.0 if alpha is None else float(alpha)
+            )
             params = merge_lora(params, lora, lcfg)
         self.params = params
         self.cfg = cfg

@@ -59,16 +59,16 @@ class FeatureStorage:
 
 def load_metadata(metadata_dir: str, dataset: str) -> Dict[str, Dict[str, str]]:
     """captions.json / tags.json per dataset
-    (`compute_metrics.py:16-39` format)."""
+    (`compute_metrics.py:16-39` format). Also merges per-task shard files
+    (`captions.taskNNNN.json`) written by sharded `generate_metadata`
+    runs, so SLURM-array output needs no separate merge step."""
     meta: Dict[str, Dict[str, str]] = {}
     base = Path(metadata_dir) / dataset
     for kind in ("captions", "tags"):
-        f = base / f"{kind}.json"
-        if not f.exists():
-            continue
-        for item in json.loads(f.read_text()):
-            key = Path(item["image_path"]).stem
-            meta.setdefault(key, {})[kind[:-1]] = item[kind[:-1]]
+        for f in sorted(base.glob(f"{kind}*.json")):
+            for item in json.loads(f.read_text()):
+                key = Path(item["image_path"]).stem
+                meta.setdefault(key, {})[kind[:-1]] = item[kind[:-1]]
     return meta
 
 
@@ -109,8 +109,10 @@ def run(config_path: str, task_id: Optional[int] = None,
     from s3od_tpu.convert import load_native
     from s3od_tpu.models.vae import VAE, VAEConfig
 
-    enc, dec = load_native(cfg["vae_checkpoint"])
-    vae = VAE(enc, dec, VAEConfig())
+    # load_native returns (params, state); the VAE npz stores
+    # {'enc','dec'} inside params (convert_flux.py save layout).
+    tree, _ = load_native(cfg["vae_checkpoint"])
+    vae = VAE(tree["enc"], tree["dec"], VAEConfig())
     extractor = FluxFeatureExtractor(pipeline, vae)
 
     jobs = []

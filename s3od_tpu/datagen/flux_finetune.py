@@ -82,7 +82,8 @@ def run(config_path: str, *, _mmdit_cfg=None, _vae=None, _text=None,
     text = _text or TextEncoders()
     resizer = _resizer or FluxResizer()
 
-    lcfg = LoRAConfig(rank=int(cfg.get("rank", 16)))
+    lcfg = LoRAConfig(rank=int(cfg.get("rank", 16)),
+                      alpha=float(cfg.get("alpha", 16.0)))
     lora = init_lora_params(jax.random.key(0), params, lcfg)
     opt = optax.adamw(float(cfg.get("lr", 1e-4)))
     opt_state = opt.init(lora)
@@ -119,7 +120,12 @@ def run(config_path: str, *, _mmdit_cfg=None, _vae=None, _text=None,
             logger.info("step %d loss %.4f", it, float(loss))
 
     out = cfg.get("out_lora", "flux_lora.npz")
-    save_native(out, lora, None)
+    # Persist the merge scale next to the adapters: the serving pipeline
+    # reads alpha from the state slot so W + (alpha/rank)·A@B matches
+    # training exactly (ConceptAttentionPipeline lora=path).
+    save_native(out, lora,
+                {"alpha": np.float32(lcfg.alpha),
+                 "rank": np.int32(lcfg.rank)})
     logger.info("wrote %s", out)
     return out
 

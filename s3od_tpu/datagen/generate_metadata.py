@@ -104,8 +104,13 @@ def process_dataset(
     images = task_slice(images, task_id, num_tasks)
     out_dir.mkdir(parents=True, exist_ok=True)
     captions, tags = [], []
-    cap_file = out_dir / "captions.json"
-    tag_file = out_dir / "tags.json"
+    # Concurrent SLURM-array tasks each write their OWN shard file (a
+    # shared captions.json read-modify-written by N tasks loses every
+    # task's entries but the last writer's); `load_metadata` merges
+    # `captions*.json`, so shards never need a separate merge step.
+    suffix = f".task{task_id:04d}" if num_tasks > 1 else ""
+    cap_file = out_dir / f"captions{suffix}.json"
+    tag_file = out_dir / f"tags{suffix}.json"
     if cap_file.exists():  # resume: merge existing entries
         captions = json.loads(cap_file.read_text())
     if tag_file.exists():

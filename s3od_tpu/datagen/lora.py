@@ -55,16 +55,29 @@ def init_lora_params(key: jax.Array, mmdit_params: dict, cfg: LoRAConfig) -> dic
             "B": jnp.zeros((cfg.rank, dout), jnp.float32),
         }
 
-    lora = {"dual_blocks": [], "single_blocks": []}
-    for blk in mmdit_params["dual_blocks"]:
-        lora["dual_blocks"].append(
-            {"/".join(p): adapter(_get(blk, p)["kernel"]) for p in DUAL_TARGETS}
-        )
-    for blk in mmdit_params["single_blocks"]:
-        lora["single_blocks"].append(
-            {"/".join(p): adapter(_get(blk, p)["kernel"]) for p in SINGLE_TARGETS}
-        )
-    return lora
+    def block_adapters(blk, targets):
+        # NESTED by path segments (not "/"-joined keys): the npz codec
+        # (`convert._flatten`) uses "/" as its separator, so flat keys with
+        # "/" would change structure across a save/load round trip and
+        # merge_lora could no longer find them.
+        out: dict = {}
+        for p in targets:
+            node = out
+            for seg in p[:-1]:
+                node = node.setdefault(seg, {})
+            node[p[-1]] = adapter(_get(blk, p)["kernel"])
+        return out
+
+    return {
+        "dual_blocks": [
+            block_adapters(b, DUAL_TARGETS)
+            for b in mmdit_params["dual_blocks"]
+        ],
+        "single_blocks": [
+            block_adapters(b, SINGLE_TARGETS)
+            for b in mmdit_params["single_blocks"]
+        ],
+    }
 
 
 def merge_lora(mmdit_params: dict, lora: dict, cfg: LoRAConfig) -> dict:
@@ -81,7 +94,7 @@ def merge_lora(mmdit_params: dict, lora: dict, cfg: LoRAConfig) -> dict:
 
     def apply_block(blk, adapters, targets):
         for path in targets:
-            ad = adapters["/".join(path)]
+            ad = _get(adapters, path)
             leaf = dict(_get(blk, path))
             delta = cfg.scale * jnp.matmul(ad["A"], ad["B"])
             leaf["kernel"] = leaf["kernel"] + delta.astype(leaf["kernel"].dtype)

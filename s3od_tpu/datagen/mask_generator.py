@@ -34,17 +34,11 @@ class MaskGenerator:
         self._jit = None
 
     def _load(self, path: str):
-        from s3od_tpu.configs import segmentation_config
+        from s3od_tpu.convert import load_native_segmentation
         from s3od_tpu.models.flux_teacher import FluxTeacherConfig
 
-        p = Path(path)
-        from s3od_tpu.convert import load_native
-
-        params, state = load_native(str(p))
-        hid = np.asarray(params["encoder"]["cls_token"]).shape[-1]
-        name = {384: "dinov3_small", 768: "dinov3_base", 1024: "dinov3_large"}[hid]
-        cfg = FluxTeacherConfig(base=segmentation_config(name))
-        return params, state, cfg
+        params, state, base_cfg = load_native_segmentation(path)
+        return params, state, FluxTeacherConfig(base=base_cfg)
 
     def _forward(self):
         if self._jit is None:

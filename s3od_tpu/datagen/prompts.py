@@ -80,11 +80,12 @@ def template_prompts(class_name: str, n: int, seed: int = 0) -> List[str]:
     """Deterministic offline fallback: template rotation + enhancement."""
     enh = PromptEnhancer(seed=seed)
     rng = random.Random(seed)
-    out = []
+    templates = list(_TEMPLATES)  # copy: never mutate the module global,
+    out = []                      # or determinism depends on call history
     for i in range(n):
-        base = _TEMPLATES[i % len(_TEMPLATES)].format(cls=class_name)
+        base = templates[i % len(templates)].format(cls=class_name)
         out.append(enh.enhance(base))
-        rng.shuffle(_TEMPLATES)
+        rng.shuffle(templates)
     return out
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s3od_tpu.configs import SegmentationConfig, segmentation_config
+from s3od_tpu.configs import SegmentationConfig
 from s3od_tpu.models.segmentation import segmentation_forward
 from s3od_tpu.ops.resize import resize_bilinear_numpy
 from s3od_tpu.predictor import IMAGENET_MEAN, IMAGENET_STD, _resize_image
@@ -81,12 +81,9 @@ class SODPredictor:
     def _load(self, path: str):
         p = Path(path)
         if p.suffix == ".npz":
-            from s3od_tpu.convert import load_native
+            from s3od_tpu.convert import load_native_segmentation
 
-            params, state = load_native(str(p))
-            hid = np.asarray(params["encoder"]["cls_token"]).shape[-1]
-            name = {384: "dinov3_small", 768: "dinov3_base", 1024: "dinov3_large"}[hid]
-            return params, state, segmentation_config(name)
+            return load_native_segmentation(p)
         from s3od_tpu.convert import load_torch_checkpoint
 
         return load_torch_checkpoint(str(p))

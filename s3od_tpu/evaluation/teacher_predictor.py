@@ -39,15 +39,12 @@ class SODTeacherPredictor:
         self.resizer = FluxResizer()
         self.num_steps = num_inference_steps
 
-        from s3od_tpu.configs import segmentation_config
-        from s3od_tpu.convert import load_native
+        from s3od_tpu.convert import load_native_segmentation
         from s3od_tpu.models.flux_teacher import FluxTeacherConfig
 
-        params, state = load_native(checkpoint_path)
-        hid = np.asarray(params["encoder"]["cls_token"]).shape[-1]
-        name = {384: "dinov3_small", 768: "dinov3_base", 1024: "dinov3_large"}[hid]
+        params, state, base_cfg = load_native_segmentation(checkpoint_path)
         self.params, self.state = params, state
-        self.cfg = FluxTeacherConfig(base=segmentation_config(name))
+        self.cfg = FluxTeacherConfig(base=base_cfg)
 
         self._pipeline = None
         self._vae = None

@@ -201,13 +201,19 @@ def flux_teacher_forward(
     # IoU + mask heads: reuse the base head's implementation by calling the
     # tail of dpt_head_forward logic directly.
 
+    from s3od_tpu.ops.precision import dot_precision
+
     pooled = jnp.mean(path1.astype(jnp.float32), axis=(1, 2)).astype(path1.dtype)
     fc1 = head["classifier"]["fc1"]
     fc2 = head["classifier"]["fc2"]
+    w1 = fc1["kernel"].astype(pooled.dtype)
     iou = jax.nn.relu(
-        jnp.matmul(pooled, fc1["kernel"].astype(pooled.dtype)) + fc1["bias"].astype(pooled.dtype)
+        jnp.matmul(pooled, w1, precision=dot_precision(pooled, w1))
+        + fc1["bias"].astype(pooled.dtype)
     )
-    iou = jnp.matmul(iou, fc2["kernel"].astype(pooled.dtype)) + fc2["bias"].astype(pooled.dtype)
+    w2 = fc2["kernel"].astype(pooled.dtype)
+    iou = (jnp.matmul(iou, w2, precision=dot_precision(iou, w2))
+           + fc2["bias"].astype(pooled.dtype))
 
     mh = head["mask_head"]
     from s3od_tpu.ops.conv import conv_transpose2d

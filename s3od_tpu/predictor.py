@@ -136,7 +136,7 @@ class BackgroundRemoval:
         return cls(_params_state_cfg=(params, state, cfg), **kwargs)
 
     def _load_model(self, model_id: str):
-        from s3od_tpu.convert import load_native, load_torch_checkpoint
+        from s3od_tpu.convert import load_torch_checkpoint
 
         path = Path(model_id)
         checkpoint_path: Optional[Path] = None
@@ -167,12 +167,9 @@ class BackgroundRemoval:
             raise ValueError(f"No checkpoint found under {model_id}")
 
         if checkpoint_path.suffix == ".npz":
-            params, state = load_native(str(checkpoint_path))
-            from s3od_tpu.configs import segmentation_config
+            from s3od_tpu.convert import load_native_segmentation
 
-            hid = np.asarray(params["encoder"]["cls_token"]).shape[-1]
-            name = {384: "dinov3_small", 768: "dinov3_base", 1024: "dinov3_large"}[hid]
-            return params, state, segmentation_config(name)
+            return load_native_segmentation(checkpoint_path)
         return load_torch_checkpoint(str(checkpoint_path))
 
     # ------------------------------------------------------------------

@@ -219,6 +219,60 @@ def test_flux_finetune_cli_end_to_end(tmp_path):
 
     out = run(str(cfg_path), _mmdit_cfg=mmdit_cfg, _vae=vae,
               _text=StubText(), _resizer=StubResizer())
-    lora, _ = load_native(out)
+    lora, meta = load_native(out)
     leaves = jax.tree.leaves(lora)
     assert leaves and all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    # merge scale persists next to the adapters so serving applies exactly
+    # the trained W + (alpha/rank)·A@B (alpha defaults to 16, not rank)
+    assert float(np.asarray(meta["alpha"])) == 16.0
+    assert int(np.asarray(meta["rank"])) == 2
+
+    # the pipeline's lora=path load must reproduce the trainer's merge
+    from s3od_tpu.datagen.diffusion import ConceptAttentionPipeline
+    from s3od_tpu.datagen.lora import LoRAConfig, merge_lora
+    from s3od_tpu.models.mmdit import init_mmdit_params as reinit
+
+    base = reinit(jax.random.key(0), mmdit_cfg)
+    pipe = ConceptAttentionPipeline(base, mmdit_cfg, vae=vae, lora=out)
+    expect = merge_lora(reinit(jax.random.key(0), mmdit_cfg), lora,
+                        LoRAConfig(rank=2, alpha=16.0))
+    for a, b in zip(jax.tree.leaves(pipe.params), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_metadata_sharded_tasks_do_not_clobber(tmp_path):
+    """Sharded generate_metadata tasks write per-task shard files (a shared
+    captions.json read-modify-written by N concurrent SLURM-array tasks
+    keeps only the last writer's entries); load_metadata merges shards."""
+    from PIL import Image
+
+    from s3od_tpu.datagen.feature_extraction import load_metadata
+    from s3od_tpu.datagen.generate_metadata import process_dataset
+
+    ds = tmp_path / "in" / "demo"
+    (ds / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        ).save(ds / "images" / f"im{i}.png")
+
+    class StubGen:
+        def caption(self, image, stem):
+            return f"caption-{stem}"
+
+        def tag(self, image, stem):
+            return f"tag-{stem}"
+
+    out = tmp_path / "out" / "demo"
+    # two tasks over the same dataset, as a SLURM array would run them
+    for tid in (0, 1):
+        process_dataset(ds, out, StubGen(), tid, 2)
+
+    files = sorted(p.name for p in out.glob("captions*.json"))
+    assert len(files) == 2 and all(".task" in f for f in files)
+    meta = load_metadata(str(tmp_path / "out"), "demo")
+    assert len(meta) == 4  # nothing lost to the last writer
+    for i in range(4):
+        assert meta[f"im{i}"]["caption"] == f"caption-im{i}"
+        assert meta[f"im{i}"]["tag"] == f"tag-im{i}"
