@@ -14,12 +14,13 @@ PyTorch throughput for this 86M-param ViT-B + DPT at 1024x1024.
 
 Prints exactly ONE JSON line on stdout.
 
-Auto-tune: after the baseline sweep the parent re-measures the gated
-Pallas kernels (S3OD_WINOGRAD / S3OD_MLP_FUSED, off by default pending
-hardware validation — see ops/README.md) in ISOLATED SUBPROCESSES, each
-with a numerics probe checked against the baseline masks. A combo is
-adopted only if it matches numerically AND is faster; a child that
-crashes, hangs, or diverges just leaves the validated baseline in place.
+Auto-tune: hardware verdicts for the round-2 gated kernels are in
+(ops/README.md): mlp_fused is default-ON (validated win), winograd is a
+measured negative and is not re-probed. The auto-tune pass now only
+cross-checks the one live gate — it re-measures S3OD_MLP_FUSED=0 in an
+ISOLATED SUBPROCESS with a numerics probe against the default graph and
+falls back to the unfused MLP if that is somehow faster here; a child
+that crashes, hangs, or diverges just leaves the default in place.
 """
 
 from __future__ import annotations
@@ -206,31 +207,18 @@ def main():
         }))
         return
 
-    flags_note = "baseline"
-    baseline_best = best
-    wins = []
+    flags_note = "default (mlp_fused on)"
     combos = () if probe is None else (
-        ("winograd", {"S3OD_WINOGRAD": "1"}),
-        ("mlp_fused", {"S3OD_MLP_FUSED": "1"}),
+        ("mlp_unfused", {"S3OD_MLP_FUSED": "0"}),
     )  # no batch-1 probe -> nothing to validate children against
     for name, flag_env in combos:
         got = _try_gated_combo(name, flag_env, probe)
-        if got is not None and got["best"] > baseline_best:
-            wins.append(name)
         if got is not None and got["best"] > best:
             best, best_batch = got["best"], got["best_batch"]
             flags_note = name
-    if len(wins) == 2:  # both win individually -> measure them combined
-        got = _try_gated_combo(
-            "winograd+mlp_fused",
-            {"S3OD_WINOGRAD": "1", "S3OD_MLP_FUSED": "1"}, probe,
-        )
-        if got is not None and got["best"] > best:
-            best, best_batch = got["best"], got["best_batch"]
-            flags_note = "winograd+mlp_fused"
-    if flags_note != "baseline":
-        print(f"auto-tune adopted: {flags_note} "
-              f"({best:.1f} img/s at batch {best_batch})", file=sys.stderr)
+            print(f"auto-tune adopted: {flags_note} "
+                  f"({best:.1f} img/s at batch {best_batch})",
+                  file=sys.stderr)
 
     # Product-path throughput (stderr, informational): the full
     # remove_background pipeline — cv2 letterbox, device forward, unpad +

@@ -27,6 +27,7 @@ def _train_leg():
     import jax
     import jax.numpy as jnp
 
+    import s3od_tpu.models.dinov3 as dinov3
     import s3od_tpu.ops.conv as conv_mod
     from s3od_tpu.configs import segmentation_config
     from s3od_tpu.models.segmentation import init_segmentation_params
@@ -50,7 +51,13 @@ def _train_leg():
     key = jax.random.key(1)
 
     ref_loss = None
-    for name, wino_on in (("train baseline", False), ("train +winograd", True)):
+    train_combos = (
+        ("train baseline", False, False),
+        ("train +mlp_fused", True, False),
+        ("train +winograd", False, True),
+    )
+    for name, mlp_on, wino_on in train_combos:
+        dinov3._MLP_FUSED_ENABLED = mlp_on
         conv_mod._WINOGRAD_ENABLED = wino_on
         params, bn_state = init_segmentation_params(jax.random.key(0), cfg)
         state = TrainState.create(params, bn_state, optimizer)
@@ -77,6 +84,7 @@ def _train_leg():
                        n_small=2, n_large=6)
         print(f"[{name}] batch {B}: {t*1e3:.1f} ms/step "
               f"({B / t:.2f} img/s/chip)")
+    dinov3._MLP_FUSED_ENABLED = False
     conv_mod._WINOGRAD_ENABLED = False
 
 

@@ -110,16 +110,17 @@ def _apply_rope(q, k, cos, sin):
 # "flash", which resolves on TPU backends only).
 _QKV_FUSED_INTERPRET = False
 
-# The fused MLP kernel (ops/mlp_fused.py) measured encoder 12.2 -> 11.25
-# ms/img standalone, but its first integration regressed the FULL batch-1
-# graph 23.4 -> 30 ms: the raised scoped-vmem reservation starved the DPT
-# head's conv prefetch (mask-head up_conv 1.2 -> 8.6 ms in the trace). The
-# block-shrink fix (mlp_fused._pick_block) is in place but NOT yet
-# validated on hardware — enable after a full-graph profile confirms the
-# decoder is unharmed (S3OD_MLP_FUSED=1 to test).
+# The fused MLP kernel (ops/mlp_fused.py). Its first integration regressed
+# the FULL batch-1 graph 23.4 -> 30 ms (raised scoped-vmem reservation
+# starved the DPT head's conv prefetch); the block-shrink fix
+# (mlp_fused._pick_block) keeps the kernel inside the default 16 MB scope
+# and was hardware-validated on the full 1024px serving graph
+# (benchmarks/validate_r2_kernels.py, v5e): batch 1 23.62 -> 22.71 ms/img,
+# batch 8 191.7 -> 185.5 ms/step, mask maxdiff 0.0039 (bf16 tolerance).
+# Default ON; S3OD_MLP_FUSED=0 falls back to the plain XLA MLP.
 import os as _os
 
-_MLP_FUSED_ENABLED = _os.environ.get("S3OD_MLP_FUSED", "0") == "1"
+_MLP_FUSED_ENABLED = _os.environ.get("S3OD_MLP_FUSED", "1") == "1"
 
 
 def _attention_flash_core(

@@ -18,9 +18,12 @@ from s3od_tpu.ops.precision import dot_precision
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 # Winograd F(2,3) path for eligible 3x3/s1/p1 convs (ops/winograd.py):
-# 2.25x fewer MXU FLOPs on the DPT decoder's hot convs. Off by default
-# until validated on hardware against the full serving graph
-# (S3OD_WINOGRAD=1 to test; tests exercise it in interpret mode).
+# 2.25x fewer MXU FLOPs on the DPT decoder's hot convs. MEASURED NEGATIVE
+# on hardware (benchmarks/validate_r2_kernels.py, v5e, full 1024px serving
+# graph): batch 1 23.62 -> 26.46 ms/img, batch 8 191.7 -> 239.6 ms — the
+# space-to-depth layout copies around each kernel eat the MXU-FLOP win,
+# even with the chained-RCU variant. Kept behind S3OD_WINOGRAD=1 for
+# re-testing on future toolchains; tests exercise it in interpret mode.
 import os as _os
 
 _WINOGRAD_ENABLED = _os.environ.get("S3OD_WINOGRAD", "0") == "1"

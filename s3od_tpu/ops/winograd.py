@@ -31,8 +31,11 @@ dtype (bf16 at serving), matching the graph path's rounding. Exact-mode
 Backward: custom_vjp re-derives gradients from the plain-XLA conv via
 jax.vjp — safe under jax.grad / remat (same pattern as ops/mlp_fused.py).
 
-Enable with S3OD_WINOGRAD=1 (see ops/conv.py) — gated off by default until
-validated on hardware against the full serving graph.
+Enable with S3OD_WINOGRAD=1 (see ops/conv.py) — gated off by default:
+hardware validation on the full 1024px serving graph measured it SLOWER
+(batch 1 23.62 -> 26.46 ms/img; batch 8 191.7 -> 239.6 ms) — the s2d
+layout copies around each kernel outweigh the 2.25x MXU-FLOP saving.
+Kept as a documented negative result / future-toolchain candidate.
 """
 
 from __future__ import annotations

@@ -156,6 +156,59 @@ def test_mine_samples_allocation():
     assert unstable == ["hard"] and stable == ["easy"]
 
 
+def test_active_learning_loop_closure(tmp_path):
+    """The paper's core loop (SURVEY §1: mine_samples difficulty scores ->
+    per-class sample weights -> generation allocation, reference
+    `mine_samples.py:79-113` + `generate_train_images.py:85-103`): a
+    mining-results JSON written by `save_results` must drive per-class
+    generation counts when handed to the orchestrator as
+    `class_weights_file`."""
+    from s3od_tpu.evaluation.mine_samples import (
+        analyze_stability,
+        calculate_new_samples,
+        save_results,
+    )
+    from s3od_tpu.datagen.generate_train_images import (
+        load_class_weights,
+        make_backend,
+    )
+
+    scores = {"tabby cat": 0.98, "sea anemone": 0.55}
+    alloc = calculate_new_samples(scores, min_samples=1, max_samples=3)
+    assert alloc["sea anemone"] > alloc["tabby cat"]
+    unstable, stable = analyze_stability(scores, n_categories=1)
+    results = {
+        "category_scores": scores,
+        "new_samples": alloc,
+        "category_sample_scores": {k: [v] for k, v in scores.items()},
+        "stable_categories": stable,
+        "unstable_categories": unstable,
+    }
+    json_path = save_results(results, str(tmp_path / "mining"), prefix="loop")
+
+    class_list = tmp_path / "classes.json"
+    class_list.write_text(json.dumps(["tabby cat", "sea anemone"]))
+    cfg = GenerationConfig(
+        output_dir=str(tmp_path / "gen"),
+        prompts_dir=str(tmp_path / "prompts"),
+        backend="procedural",
+        class_list=str(class_list),
+        class_weights_file=json_path,
+        prompts_per_class=2,  # overridden per class by the mining weights
+        seed=5,
+    )
+    assert load_class_weights(json_path, 2) == alloc
+    pipe = ImageMaskGenerationPipeline(cfg, make_backend(cfg))
+    total = pipe.run()
+    assert total == sum(alloc.values())
+    per_class = {
+        c: len(list((tmp_path / "gen" / "images").glob(
+            f"{c.replace(' ', '_')}_*.jpg")))
+        for c in scores
+    }
+    assert per_class == alloc  # hard class got more samples than easy
+
+
 def test_flux_finetune_cli_end_to_end(tmp_path):
     """LoRA-finetune CLI orchestration (`datagen/flux_finetune.py`, reference
     `data_generation/flux_finetune/`): collect captioned samples, run
