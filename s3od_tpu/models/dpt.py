@@ -32,7 +32,14 @@ from s3od_tpu.ops.conv import (
     conv_transpose_block,
 )
 from s3od_tpu.ops.precision import dot_precision
-from s3od_tpu.ops.resize import resize_bilinear
+from s3od_tpu.ops.resize import resize_bilinear, upsample2x_out_conv
+
+# Fused out_conv + 2x-upsample transposed conv for batch > 1 (see
+# _fusion_block); S3OD_CONVT_UP=0 falls back to the banded-matmul resize
+# everywhere.
+import os as _os
+
+_CONVT_UP_ENABLED = _os.environ.get("S3OD_CONVT_UP", "1") == "1"
 
 
 # Fused-tail v1 measured SLOWER than the XLA path on v5e (6.68 vs 4.35 ms
@@ -102,6 +109,7 @@ def _fusion_block(
     use_bn: bool,
     training: bool,
     axis_name,
+    convt_up: Optional[bool] = None,
 ) -> Tuple[jax.Array, Optional[dict]]:
     new_s = {} if use_bn else None
     if res is not None:
@@ -120,6 +128,18 @@ def _fusion_block(
     # (`src/s3od/model.py:400-403`). A 1x1 conv is linear across channels and
     # bilinear resize is linear across pixels, so they commute exactly;
     # applying out_conv first runs it on 4x fewer pixels.
+    b_, h_, w_, _ = x.shape
+    use_convt = b_ >= 8 if convt_up is None else convt_up
+    if _CONVT_UP_ENABLED and use_convt and out_hw == (2 * h_, 2 * w_):
+        # Large batch: the banded-matmul resize costs ~2 ms/img in relayout
+        # copies at batch 8; the fused convT form is layout-clean and exact
+        # (ops/resize.py:upsample2x_out_conv). Hardware sweep
+        # (benchmarks/validate_convt_up.py, v5e, 1024px serving graph):
+        # batch 8 43.0 -> 47.7 img/s, train step 703.6 -> 670 ms — but the
+        # dilated-conv lowering is SLOWER at batches 1-4 (b1 19.8 vs 11.4
+        # ms/img decoder; b2 -3.3 img/s; b4 -1.0), so the banded matmul
+        # stays below batch 8 (it is already at the layout floor there).
+        return upsample2x_out_conv(x, p["out_conv"]), new_s
     x = conv1x1(x, p["out_conv"])
     x = resize_bilinear(x, out_hw)
     return x, new_s
@@ -136,6 +156,7 @@ def dpt_head_forward(
     axis_name: Optional[str] = None,
     remat: bool = False,
     masks_nhwc: bool = False,
+    convt_up: Optional[bool] = None,
 ):
     """tap_features: 4 x (B, N, C) patch tokens. Returns (outputs, new_state).
 
@@ -145,6 +166,11 @@ def dpt_head_forward(
     ``masks_nhwc=True`` keeps pred_masks in the conv-native (B, H, W, n_out)
     layout — the NCHW transpose costs ~0.8 ms/img in fp32 at 1024px (trace:
     add_divide_fusion) and the serving path can transpose on host for free.
+
+    ``convt_up``: force the fusion upsample choice (see _fusion_block);
+    None = auto by traced batch (>= 8). Data-parallel callers whose
+    PER-DEVICE batch is below 8 should pass False — the traced (global)
+    shape would otherwise engage the convT path in the slow regime.
     """
     ph, pw = patch_hw
     use_bn = cfg.use_bn
@@ -172,17 +198,18 @@ def dpt_head_forward(
     def hw(a):
         return (a.shape[1], a.shape[2])
 
+    import functools
+
     if remat:
-        import functools
 
         def fusion_fn(p, s, x, res, out_hw, use_bn_, training_, axis_name_):
             fn = functools.partial(
                 _fusion_block, out_hw=out_hw, use_bn=use_bn_,
-                training=training_, axis_name=axis_name_,
+                training=training_, axis_name=axis_name_, convt_up=convt_up,
             )
             return jax.checkpoint(fn)(p, s, x, res)
     else:
-        fusion_fn = _fusion_block
+        fusion_fn = functools.partial(_fusion_block, convt_up=convt_up)
 
     path4, s4 = fusion_fn(
         params["refinenet4"], state and state.get("refinenet4"), rn[3], None,

@@ -34,6 +34,7 @@ def segmentation_forward(
     remat: Optional[bool] = None,
     remat_policy: Optional[str] = None,
     serving_fast_output: bool = False,
+    convt_up: Optional[bool] = None,
 ) -> Tuple[dict, Optional[dict]]:
     """images: (B, H, W, 3) normalized float. Returns (outputs, new_bn_state).
 
@@ -73,6 +74,7 @@ def segmentation_forward(
         axis_name=axis_name,
         remat=remat,
         masks_nhwc=serving_fast_output,
+        convt_up=convt_up,
     )
     if not serving_fast_output:
         # Keep the public contract in fp32 (masks/iou logits).

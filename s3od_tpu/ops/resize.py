@@ -104,6 +104,52 @@ def resize_bilinear(
     return x
 
 
+_UP2_TAPS = np.array([0.25, 0.75, 0.75, 0.25], dtype=np.float32)
+
+
+def upsample2x_out_conv(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Fused 1x1 conv + EXACT 2x bilinear upsample as one transposed conv.
+
+    For the exact 2x case the ``align_corners=False`` bilinear weights are
+    phase-constant (out[2k] = .25 in[k-1] + .75 in[k]; out[2k+1] = .75 in[k]
+    + .25 in[k+1]), so resize == conv_transpose(stride 2, taps
+    [.25,.75,.75,.25]) and a preceding 1x1 conv folds into the kernel:
+    K[ky,kx,ci,co] = t[ky] t[kx] W1[ci,co]. Edge-padding the input by one
+    replicates torch's boundary clamp exactly, and because every tap row
+    sums to 1 the conv bias carries through unchanged. Verified exact vs
+    `conv1x1 + resize_bilinear` to 1e-6 fp32 (tests/test_ops.py).
+
+    Why it exists: the banded-matmul resize is layout-hostile to XLA at
+    batch > 1 — at batch 8 the decoder loses ~2 ms/img to relayout copies
+    around the resize matmuls, while this conv-native form hits the
+    layout-clean floor (9.64 vs 11.65 ms/img decoder,
+    benchmarks/exp_convt_upsample.py). At small batch XLA lowers the
+    dilated conv pathologically (batch 1: 19.8 vs 11.4 ms/img decoder;
+    batches 2/4 also lose, benchmarks/validate_convt_up.py) — callers keep
+    the banded matmul below batch 8 (models/dpt.py picks by traced batch).
+
+    p = {kernel: (1,1,in,out) or (in,out), bias?: (out,)}.
+    """
+    from s3od_tpu.ops.precision import dot_precision
+
+    w1 = p["kernel"]
+    if w1.ndim == 4:
+        w1 = w1[0, 0]
+    taps = jnp.asarray(_UP2_TAPS, x.dtype)
+    k = (taps[:, None, None, None] * taps[None, :, None, None]
+         * w1.astype(x.dtype)[None, None])
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, k, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=dot_precision(xp, k),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
 def resize_bilinear_numpy(
     x: np.ndarray,
     out_hw: Tuple[int, int],

@@ -176,8 +176,8 @@ class BackgroundRemoval:
     # Compiled forward
     # ------------------------------------------------------------------
 
-    def _forward_fn(self, canvas: int):
-        key = (canvas, self.compute_dtype)
+    def _forward_fn(self, canvas: int, convt_up: Optional[bool] = None):
+        key = (canvas, self.compute_dtype, convt_up)
         if key not in self._jit_cache:
             cfg = self.cfg
             dtype = self.compute_dtype
@@ -190,7 +190,7 @@ class BackgroundRemoval:
                 out, _ = segmentation_forward(
                     params, state, x.astype(dtype), cfg,
                     training=False, compute_dtype=dtype,
-                    serving_fast_output=True,
+                    serving_fast_output=True, convt_up=convt_up,
                 )
                 # Masks stay NHWC in the compute dtype (the fp32-NCHW
                 # materialization costs ~0.8 ms/img; host transposes a view
@@ -342,13 +342,22 @@ class BackgroundRemoval:
         pre = [self._preprocess(a) for a in arrays]
         batch = np.stack([p[0] for p in pre])
         batch_j = jnp.asarray(batch)
-        if self._mesh is not None and batch.shape[0] % self._mesh.size == 0:
+        sharded = (
+            self._mesh is not None and batch.shape[0] % self._mesh.size == 0
+        )
+        if sharded:
             from jax.sharding import NamedSharding, PartitionSpec
 
             batch_j = jax.device_put(
                 batch_j, NamedSharding(self._mesh, PartitionSpec("data"))
             )
-        masks, ious = self._forward_fn(self.image_size)(
+        # The convT fusion upsample wins only from per-DEVICE batch 8 up
+        # (models/dpt.py); under data-parallel sharding the traced (global)
+        # batch would over-trigger it, so decide on the local batch here.
+        convt_up = None
+        if sharded and self._mesh.size > 1:
+            convt_up = batch.shape[0] // self._mesh.size >= 8
+        masks, ious = self._forward_fn(self.image_size, convt_up)(
             self.params, self.state, batch_j
         )
         masks = np.moveaxis(np.asarray(masks).astype(np.float32), -1, 1)

@@ -285,11 +285,20 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
 
         fwd_train, fwd_eval = _teacher_fwd(True), _teacher_fwd(False)
 
+    # The convT fusion upsample (models/dpt.py) wins only from per-DEVICE
+    # micro-batch 8 up; under a data-sharded mesh the traced (global) shape
+    # would over-trigger it, so decide on the local per-device batch here
+    # (global_batch = train_batch_size * n_dev * accum -> per-device micro
+    # is train_batch_size).
+    convt_up = None
+    if not is_teacher and n_dev > 1:
+        convt_up = int(cfg.dataset.train_batch_size) >= 8
     train_step = make_train_step(
         mcfg, loss_module, optimizer, accum_steps=accum,
         compute_dtype=compute_dtype, preprocess_fn=train_pre,
         forward_fn=fwd_train,
         remat_policy=cfg.backend.get("remat_policy"),
+        convt_up=convt_up,
     )
     eval_step = make_eval_step(
         mcfg, loss_module, compute_dtype=compute_dtype, preprocess_fn=eval_pre,

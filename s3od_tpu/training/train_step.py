@@ -65,6 +65,7 @@ def make_train_step(
     remat_policy: str | None = None,
     preprocess_fn=None,
     forward_fn=None,
+    convt_up: bool | None = None,
 ):
     """Returns train_step(state, batch, epoch, rng) -> (state, metrics).
 
@@ -86,6 +87,7 @@ def make_train_step(
             params, bn_state, micro_batch["images"], cfg,
             training=True, compute_dtype=compute_dtype,
             rope_coord_scale=rope_scale, remat_policy=remat_policy,
+            convt_up=convt_up,
         )
 
     fwd = forward_fn or default_forward

@@ -49,6 +49,59 @@ def test_upsample2x_matches_torch():
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("hwc", [(5, 7, 3), (16, 16, 8), (17, 9, 4)])
+def test_upsample2x_out_conv_exact_vs_banded(hwc):
+    """The fused convT upsample (ops/resize.py:upsample2x_out_conv) must be
+    EXACTLY the `conv1x1 -> resize_bilinear(2x)` pair it replaces in the
+    decoder fusion blocks (models/dpt.py batch>1 path): phase-constant
+    align_corners=False taps + edge-pad boundary + bias passthrough."""
+    from s3od_tpu.ops.resize import upsample2x_out_conv
+
+    h, w, c = hwc
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.standard_normal((1, 1, c, c)), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((c,)), jnp.float32),
+    }
+    from s3od_tpu.ops.conv import conv1x1
+
+    ref = resize_bilinear(conv1x1(x, p), (2 * h, 2 * w))
+    got = upsample2x_out_conv(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fusion_block_convt_path_matches_banded(monkeypatch):
+    """The batch>1 decoder fusion path (convT upsample) must match the
+    batch-1 path (banded matmul) on identical inputs."""
+    import s3od_tpu.models.dpt as dpt_mod
+
+    rng = np.random.default_rng(3)
+    c = 8
+    p = {
+        "rcu1": {"conv1": {"kernel": jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+                            "bias": jnp.zeros((c,), jnp.float32)},
+                  "conv2": {"kernel": jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+                            "bias": jnp.zeros((c,), jnp.float32)}},
+        "rcu2": {"conv1": {"kernel": jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+                            "bias": jnp.zeros((c,), jnp.float32)},
+                  "conv2": {"kernel": jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+                            "bias": jnp.zeros((c,), jnp.float32)}},
+        "out_conv": {"kernel": jnp.asarray(rng.standard_normal((1, 1, c, c)) * 0.1, jnp.float32),
+                      "bias": jnp.asarray(rng.standard_normal((c,)), jnp.float32)},
+    }
+    # batch 8: the convT path only engages at batch >= 8 (hardware sweep
+    # showed the dilated-conv lowering loses below that).
+    x = jnp.asarray(rng.standard_normal((8, 6, 10, c)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((8, 6, 10, c)), jnp.float32)
+
+    monkeypatch.setattr(dpt_mod, "_CONVT_UP_ENABLED", True)
+    got, _ = dpt_mod._fusion_block(p, None, x, res, (12, 20), False, False, None)
+    monkeypatch.setattr(dpt_mod, "_CONVT_UP_ENABLED", False)
+    ref, _ = dpt_mod._fusion_block(p, None, x, res, (12, 20), False, False, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize("k,s,p", [(4, 4, 0), (2, 2, 0), (4, 2, 1)])
 def test_conv_transpose_matches_torch(k, s, p):
     torch = pytest.importorskip("torch")
