@@ -163,7 +163,7 @@ def main():
     best = 0.0
     best_batch = 0
     probe = None
-    for batch in ((1, 8) if child_mode else (1, 2, 4, 8)):
+    for batch in ((1, 16) if child_mode else (1, 2, 4, 8, 16)):
         # Per-batch-size rng so parent and child batch-1 inputs (and thus
         # the numerics probes) are identical.
         brng = np.random.default_rng(batch)

@@ -332,38 +332,68 @@ class BackgroundRemoval:
         self,
         images: List[Union[np.ndarray, Image.Image]],
         threshold: float = 0.5,
+        chunk: Optional[int] = None,
     ) -> List[RemovalResult]:
-        """Batched inference (not available in the reference): one compiled
-        step for the whole batch, host postprocess per image."""
+        """Batched inference (not available in the reference): compiled
+        steps over fixed-size chunks, host postprocess per image.
+
+        The list is processed in chunks of ``chunk`` images (default 16 per
+        device — the measured v5e throughput sweet spot, see
+        benchmarks/exp_batch16.py; batch 32 OOMs); the final partial chunk
+        is padded up to a power-of-2 bucket. Any list length therefore
+        reuses at most ~log2(chunk) compiled shapes across calls instead of
+        retracing per distinct length (each 1024px compile costs tens of
+        seconds)."""
         arrays = [
             np.array(im.convert("RGB")) if isinstance(im, Image.Image) else im
             for im in images
         ]
         pre = [self._preprocess(a) for a in arrays]
-        batch = np.stack([p[0] for p in pre])
-        batch_j = jnp.asarray(batch)
-        sharded = (
-            self._mesh is not None and batch.shape[0] % self._mesh.size == 0
-        )
-        if sharded:
-            from jax.sharding import NamedSharding, PartitionSpec
+        n = len(pre)
+        n_dev = self._mesh.size if self._mesh is not None else 1
+        if chunk is None:
+            # Sharded: 8 per device engages the convT upsample everywhere;
+            # single device: 16 is the measured sweet spot.
+            chunk = 8 * n_dev if n_dev > 1 else 16
 
-            batch_j = jax.device_put(
-                batch_j, NamedSharding(self._mesh, PartitionSpec("data"))
+        results: List[RemovalResult] = []
+        i = 0
+        while i < n:
+            take = min(chunk, n - i)
+            # Full chunks run at the steady-state shape; the tail rounds up
+            # to the next power of 2 (and to mesh divisibility) so repeat
+            # calls share compiled graphs.
+            bucket = chunk if take == chunk else 1 << (take - 1).bit_length()
+            if n_dev > 1:
+                bucket = ((bucket + n_dev - 1) // n_dev) * n_dev
+            bucket = min(bucket, chunk)
+            stack = [pre[i + j][0] for j in range(take)]
+            stack += [stack[0]] * (bucket - take)
+            batch_j = jnp.asarray(np.stack(stack))
+            sharded = n_dev > 1 and bucket % n_dev == 0
+            if sharded:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch_j = jax.device_put(
+                    batch_j, NamedSharding(self._mesh, PartitionSpec("data"))
+                )
+            # The convT fusion upsample wins only from per-DEVICE batch 8 up
+            # (models/dpt.py); under data-parallel sharding the traced
+            # (global) batch would over-trigger it, so decide on the local
+            # batch here.
+            convt_up = None
+            if sharded:
+                convt_up = bucket // n_dev >= 8
+            masks, ious = self._forward_fn(self.image_size, convt_up)(
+                self.params, self.state, batch_j
             )
-        # The convT fusion upsample wins only from per-DEVICE batch 8 up
-        # (models/dpt.py); under data-parallel sharding the traced (global)
-        # batch would over-trigger it, so decide on the local batch here.
-        convt_up = None
-        if sharded and self._mesh.size > 1:
-            convt_up = batch.shape[0] // self._mesh.size >= 8
-        masks, ious = self._forward_fn(self.image_size, convt_up)(
-            self.params, self.state, batch_j
-        )
-        masks = np.moveaxis(np.asarray(masks).astype(np.float32), -1, 1)
-        ious = np.asarray(ious, dtype=np.float32)
-
-        return [
-            self._postprocess(img, pad_info, m, iou)
-            for img, (_, pad_info), m, iou in zip(arrays, pre, masks, ious)
-        ]
+            masks = np.moveaxis(np.asarray(masks).astype(np.float32), -1, 1)
+            ious = np.asarray(ious, dtype=np.float32)
+            for j in range(take):
+                results.append(
+                    self._postprocess(
+                        arrays[i + j], pre[i + j][1], masks[j], ious[j]
+                    )
+                )
+            i += take
+        return results

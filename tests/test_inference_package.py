@@ -97,6 +97,44 @@ def test_batch_matches_single(predictor, circle_image):
         np.testing.assert_allclose(b.predicted_mask, s.predicted_mask, atol=1e-5)
 
 
+def test_batch_chunking_matches_single(predictor, circle_image):
+    """Chunked batching (predictor.py remove_background_batch): a list
+    longer than `chunk` splits into full chunks + a padded power-of-2 tail
+    bucket; every image's result must match its single-image prediction."""
+    img, _ = circle_image
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 255, size=(100 + 7 * i, 90 + 5 * i, 3), dtype=np.uint8)
+        for i in range(5)
+    ]
+    # chunk=2 -> chunks [2, 2, 1(tail bucket 1)]; exercises full-chunk reuse
+    # AND the padded-tail path.
+    batch = predictor.remove_background_batch(imgs, chunk=2)
+    assert len(batch) == 5
+    for im, b in zip(imgs, batch):
+        s = predictor.remove_background(im)
+        np.testing.assert_allclose(b.predicted_mask, s.predicted_mask, atol=1e-5)
+        np.testing.assert_allclose(b.all_ious, s.all_ious, atol=1e-5)
+
+
+def test_data_parallel_batch_non_divisible(circle_image):
+    """A sharded predictor must handle list lengths not divisible by the
+    mesh (tail bucket rounds up to mesh divisibility and pads)."""
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    dp = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32", data_parallel=True
+    )
+    assert dp._mesh is not None and dp._mesh.size > 1
+    img, _ = circle_image
+    imgs = [img] * (dp._mesh.size + 3)
+    results = dp.remove_background_batch(imgs)
+    assert len(results) == dp._mesh.size + 3
+    single = dp.remove_background(img)
+    for r in results:
+        np.testing.assert_allclose(r.predicted_mask, single.predicted_mask, atol=1e-5)
+
+
 def test_visualizers(predictor, circle_image):
     from s3od_tpu.visualizer import visualize_all_masks, visualize_removal
 
