@@ -44,7 +44,15 @@ def main():
 
     TAPS = np.array([0.25, 0.75, 0.75, 0.25], np.float32)
 
-    def fused_fusion(p_, s_, x, res, out_hw, use_bn, training, axis_name):
+    def banded_fusion(p_, s_, x, res, out_hw, use_bn, training, axis_name,
+                      convt_up=None):
+        # Force the banded-matmul path regardless of batch (the production
+        # auto-gate routes batch >= 8 to the convT path).
+        return orig_fusion(p_, s_, x, res, out_hw, use_bn, training,
+                           axis_name, convt_up=False)
+
+    def fused_fusion(p_, s_, x, res, out_hw, use_bn, training, axis_name,
+                     convt_up=None):
         from s3od_tpu.ops.precision import dot_precision
 
         new_s = {} if use_bn else None
@@ -103,7 +111,7 @@ def main():
                 for _ in range(4)
             )
             outs = {}
-            for name, fn in (("banded-matmul", orig_fusion),
+            for name, fn in (("banded-matmul", banded_fusion),
                              ("convT-fused  ", fused_fusion)):
                 dec = build(fn)
                 m, iou = dec(params, taps)

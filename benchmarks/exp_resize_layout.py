@@ -50,9 +50,13 @@ def main():
 
         @jax.jit
         def decoder(params, taps):
+            # convt_up=False: this experiment measures the resize-adjacent
+            # layout copies, so both legs must actually call resize_bilinear
+            # (the default auto-gate would route batch >= 8 to the convT
+            # path, which never touches resize).
             out, _ = dpt_head_forward(
                 params, bn_state, list(taps), (p, p), cfg,
-                training=False, masks_nhwc=True,
+                training=False, masks_nhwc=True, convt_up=False,
             )
             return out["pred_masks"], out["pred_iou"]
 

@@ -39,13 +39,16 @@ def _serving(batches):
         ).astype(jnp.bfloat16)
         ref = None
         for name, on in (("banded", False), ("convT", True)):
-            dpt_mod._CONVT_UP_ENABLED = on
-
+            # Pass the path choice explicitly: the module gate alone is not
+            # enough — _fusion_block's auto-gate (convt_up=None) keeps
+            # batches < 8 on the banded matmul, which would make the
+            # off/on comparison vacuous below batch 8.
             @jax.jit
-            def fwd(params, state, x):
+            def fwd(params, state, x, on=on):
                 out, _ = segmentation_forward(
                     params, state, x, cfg_f, training=False,
                     compute_dtype=jnp.bfloat16, serving_fast_output=True,
+                    convt_up=on,
                 )
                 return (jax.nn.sigmoid(out["pred_masks"]),
                         jax.nn.sigmoid(out["pred_iou"]))
@@ -64,14 +67,12 @@ def _serving(batches):
             )
             print(f"[{name}] batch {b}: {t*1e3:7.2f} ms/step "
                   f"({b / t:6.2f} img/s)")
-    dpt_mod._CONVT_UP_ENABLED = True
 
 
 def _train():
     import jax
     import jax.numpy as jnp
 
-    import s3od_tpu.models.dpt as dpt_mod
     from s3od_tpu.configs import segmentation_config
     from s3od_tpu.models.segmentation import init_segmentation_params
     from s3od_tpu.profiling import slope_time
@@ -95,12 +96,12 @@ def _train():
 
     ref_loss = None
     for name, on in (("train banded", False), ("train convT", True)):
-        dpt_mod._CONVT_UP_ENABLED = on
         params, bn_state = init_segmentation_params(jax.random.key(0), cfg)
         state = TrainState.create(params, bn_state, optimizer)
         train_step = make_train_step(
             cfg, loss_module, optimizer, accum_steps=1,
             compute_dtype=jnp.bfloat16, remat_policy="flash",
+            convt_up=on,
         )
         state, metrics = train_step(state, batch, epoch, key)
         loss0 = float(metrics["loss"])
@@ -120,7 +121,6 @@ def _train():
                        n_small=2, n_large=6)
         print(f"[{name}] batch {B}: {t*1e3:.1f} ms/step "
               f"({B / t:.2f} img/s/chip)")
-    dpt_mod._CONVT_UP_ENABLED = True
 
 
 if __name__ == "__main__":

@@ -352,9 +352,10 @@ class BackgroundRemoval:
         n = len(pre)
         n_dev = self._mesh.size if self._mesh is not None else 1
         if chunk is None:
-            # Sharded: 8 per device engages the convT upsample everywhere;
-            # single device: 16 is the measured sweet spot.
-            chunk = 8 * n_dev if n_dev > 1 else 16
+            # 16 per device is the measured v5e throughput sweet spot
+            # (benchmarks/exp_batch16.py) and engages the convT upsample
+            # (per-device batch >= 8).
+            chunk = 16 * n_dev
 
         results: List[RemovalResult] = []
         i = 0

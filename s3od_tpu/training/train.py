@@ -290,9 +290,11 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     # would over-trigger it, so decide on the local per-device batch here
     # (global_batch = train_batch_size * n_dev * accum -> per-device micro
     # is train_batch_size).
-    convt_up = None
+    convt_up = convt_up_eval = None
     if not is_teacher and n_dev > 1:
         convt_up = int(cfg.dataset.train_batch_size) >= 8
+        # Eval runs unaccumulated: per-device batch is val_batch_size.
+        convt_up_eval = int(cfg.dataset.val_batch_size) >= 8
     train_step = make_train_step(
         mcfg, loss_module, optimizer, accum_steps=accum,
         compute_dtype=compute_dtype, preprocess_fn=train_pre,
@@ -302,7 +304,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     )
     eval_step = make_eval_step(
         mcfg, loss_module, compute_dtype=compute_dtype, preprocess_fn=eval_pre,
-        forward_fn=fwd_eval,
+        forward_fn=fwd_eval, convt_up=convt_up_eval,
     )
 
     # --- bookkeeping ----------------------------------------------------

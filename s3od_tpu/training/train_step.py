@@ -178,11 +178,16 @@ def make_eval_step(
     compute_dtype=jnp.float32,
     preprocess_fn=None,
     forward_fn=None,
+    convt_up: bool | None = None,
 ):
+    # convt_up: same per-DEVICE-batch caveat as make_train_step — under a
+    # data-sharded mesh the traced (global) eval batch would over-trigger
+    # the convT upsample's auto-gate, so callers decide on the local batch.
     def default_forward(params, bn_state, micro_batch, rope_scale):
         return segmentation_forward(
             params, bn_state, micro_batch["images"], cfg,
             training=False, compute_dtype=compute_dtype,
+            convt_up=convt_up,
         )
 
     fwd = forward_fn or default_forward
