@@ -220,7 +220,19 @@ class ConceptAttentionPipeline:
         compute_dtype: str = "bfloat16",
         lora: Optional[dict] = None,
         lora_scale: Optional[float] = None,
+        mesh=None,
     ):
+        """``mesh``: optional `jax.sharding.Mesh` with an 'fsdp' axis. The
+        full-size MMDiT is ~12B params (~24 GB bf16) — more than one v5e
+        chip's 16 GB HBM — so production generation shards the weights
+        ZeRO-3-style over the pod (scaling-book weight-gathered recipe):
+        each kernel is split along its largest axis (`parallel/mesh.py`),
+        activations stay replicated (generation is batch-1), and XLA's SPMD
+        partitioner inserts the per-layer all-gathers over ICI. The
+        reference instead fits whole-model bf16 on an 80 GB A100
+        (`data_generation/pipeline.py:58-88`). Pass e.g.
+        ``make_mesh(dp=1, fsdp=len(jax.devices()))``; see also
+        ``from_config(fsdp=...)``."""
         if lora is not None:
             # Fold LoRA adapters into the weights once at load time
             # (reference loads a LoRA into FLUX, `pipeline.py:58-88`).
@@ -250,6 +262,13 @@ class ConceptAttentionPipeline:
                 rank=rank, alpha=16.0 if alpha is None else float(alpha)
             )
             params = merge_lora(params, lora, lcfg)
+        if mesh is not None:
+            # Shard AFTER the LoRA merge so the merged weights are what get
+            # distributed; each device materializes only its 1/fsdp slice.
+            from s3od_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.text_encoders = text_encoders or TextEncoders()
@@ -275,9 +294,18 @@ class ConceptAttentionPipeline:
         self._step_fns = {}
 
     @classmethod
-    def from_config(cls, checkpoint: Optional[str] = None, **kwargs):
+    def from_config(
+        cls,
+        checkpoint: Optional[str] = None,
+        fsdp: Optional[int] = None,
+        **kwargs,
+    ):
         """Build from a converted checkpoint (.npz of mmdit params) or fail
-        with a clear message — generation requires diffusion weights."""
+        with a clear message — generation requires diffusion weights.
+
+        ``fsdp``: shard the MMDiT weights over that many devices (-1 = all
+        visible devices). Required on TPU pods where the ~24 GB bf16 model
+        exceeds per-chip HBM; see ``__init__``'s mesh doc."""
         import jax
 
         from s3od_tpu.models.mmdit import init_mmdit_params
@@ -293,6 +321,12 @@ class ConceptAttentionPipeline:
                 "converted MMDiT .npz (see convert_flux_checkpoint), or use "
                 "backend=procedural for offline testing."
             )
+        if fsdp is not None and "mesh" not in kwargs:
+            from s3od_tpu.parallel.mesh import make_mesh
+
+            n = len(jax.devices()) if fsdp in (-1, 0) else int(fsdp)
+            kwargs["mesh"] = make_mesh(dp=1, fsdp=n,
+                                       devices=jax.devices()[:n])
         return cls(params, cfg, **kwargs)
 
     # -- internals ---------------------------------------------------------

@@ -105,6 +105,7 @@ def run(config_path: str, task_id: Optional[int] = None,
     pipeline = ConceptAttentionPipeline.from_config(
         checkpoint=cfg["flux_checkpoint"],
         num_inference_steps=cfg.get("num_inference_steps", 28),
+        fsdp=cfg.get("fsdp"),
     )
     from s3od_tpu.convert import load_native
     from s3od_tpu.models.vae import VAE, VAEConfig

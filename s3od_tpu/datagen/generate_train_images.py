@@ -58,6 +58,15 @@ class GenerationConfig:
     class_weights_file: Optional[str] = None  # mine_samples results JSON
     backend: str = "diffusion"  # diffusion | procedural
     seed: int = 42
+    # Diffusion-backend weights (reference generation_config.yaml's
+    # model/lora paths): converted MMDiT + VAE .npz, optional LoRA.
+    flux_checkpoint: Optional[str] = None
+    vae_checkpoint: Optional[str] = None
+    lora: Optional[str] = None
+    lora_scale: Optional[float] = None
+    # Shard the ~24 GB MMDiT over this many devices (-1 = all); required
+    # on TPU pods where the model exceeds per-chip HBM (diffusion.py).
+    fsdp: Optional[int] = None
 
     @classmethod
     def from_yaml(cls, path: str) -> "GenerationConfig":
@@ -103,9 +112,22 @@ def make_backend(cfg: GenerationConfig) -> ImageBackend:
         return ProceduralBackend()
     from s3od_tpu.datagen.diffusion import ConceptAttentionPipeline
 
-    return ConceptAttentionPipeline.from_config(
-        num_inference_steps=cfg.num_inference_steps
+    pipeline = ConceptAttentionPipeline.from_config(
+        checkpoint=cfg.flux_checkpoint,
+        num_inference_steps=cfg.num_inference_steps,
+        lora=cfg.lora,
+        lora_scale=cfg.lora_scale,
+        fsdp=cfg.fsdp,
     )
+    if cfg.vae_checkpoint:
+        # Pixels require the VAE decoder (pipeline.generate raises without
+        # it); npz layout is {'enc','dec'} (convert_flux.py).
+        from s3od_tpu.convert import load_native
+        from s3od_tpu.models.vae import VAE, VAEConfig
+
+        tree, _ = load_native(cfg.vae_checkpoint)
+        pipeline.vae = VAE(tree["enc"], tree["dec"], VAEConfig())
+    return pipeline
 
 
 VENDORED_CLASS_LIST = Path(__file__).parent / "data" / "imagenet_classes.json"

@@ -30,7 +30,10 @@ class SODTeacherPredictor:
         vae_checkpoint: Optional[str] = None,
         num_inference_steps: int = 28,
         dtype: Optional[str] = None,
+        fsdp: Optional[int] = None,
     ):
+        # fsdp: shard the ~24 GB MMDiT over this many devices (-1 = all) —
+        # required on TPU pods where it exceeds per-chip HBM (diffusion.py).
         import jax
 
         if dtype is None:
@@ -48,6 +51,7 @@ class SODTeacherPredictor:
 
         self._pipeline = None
         self._vae = None
+        self._fsdp = fsdp
         self._flux_checkpoint = flux_checkpoint
         self._vae_checkpoint = vae_checkpoint
         self._jit = None
@@ -60,6 +64,7 @@ class SODTeacherPredictor:
             self._pipeline = ConceptAttentionPipeline.from_config(
                 checkpoint=self._flux_checkpoint,
                 num_inference_steps=self.num_steps,
+                fsdp=self._fsdp,
             )
         return self._pipeline
 

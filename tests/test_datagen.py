@@ -329,3 +329,24 @@ def test_metadata_sharded_tasks_do_not_clobber(tmp_path):
     for i in range(4):
         assert meta[f"im{i}"]["caption"] == f"caption-im{i}"
         assert meta[f"im{i}"]["tag"] == f"tag-im{i}"
+
+
+def test_generation_config_diffusion_weight_fields(tmp_path):
+    """The diffusion backend is constructible from config alone: the yaml
+    carries the converted MMDiT/VAE/LoRA paths and the fsdp shard count
+    (reference generation_config.yaml's model/lora paths)."""
+    import yaml as _yaml
+
+    from s3od_tpu.datagen.generate_train_images import GenerationConfig
+
+    p = tmp_path / "gen.yaml"
+    p.write_text(_yaml.safe_dump({
+        "output_dir": "o", "prompts_dir": "p",
+        "flux_checkpoint": "m.npz", "vae_checkpoint": "v.npz",
+        "lora": "l.npz", "lora_scale": 8.0, "fsdp": -1,
+    }))
+    cfg = GenerationConfig.from_yaml(str(p))
+    assert cfg.flux_checkpoint == "m.npz"
+    assert cfg.vae_checkpoint == "v.npz"
+    assert cfg.lora == "l.npz" and cfg.lora_scale == 8.0
+    assert cfg.fsdp == -1

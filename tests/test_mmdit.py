@@ -159,3 +159,54 @@ def test_pipeline_t2i_and_extraction(tiny):
     )
     assert len(ext.features) == len(cfg.feature_taps)
     assert "fox" in ext.concept_maps
+
+
+def test_fsdp_sharded_pipeline_matches_replicated(tiny):
+    """FSDP weight sharding (diffusion.py `mesh`/`from_config(fsdp=...)`):
+    the full-size MMDiT (~24 GB bf16) exceeds one v5e chip's HBM, so
+    production generation shards weights over the pod's 'fsdp' axis and
+    lets XLA all-gather per layer. The sharded pipeline must produce the
+    same generation as the replicated one."""
+    from s3od_tpu.parallel.mesh import make_mesh
+
+    cfg, params = tiny
+    n = len(jax.devices())
+    assert n >= 2  # conftest provides the 8-device CPU mesh
+    mesh = make_mesh(dp=1, fsdp=n)
+
+    rng = np.random.default_rng(0)
+    n_txt = 8
+    embeds = (
+        rng.standard_normal((1, n_txt, cfg.text_dim)).astype(np.float32),
+        rng.standard_normal((1, cfg.pooled_dim)).astype(np.float32),
+    )
+    cemb = rng.standard_normal((1, 2, cfg.text_dim)).astype(np.float32)
+
+    def run(mesh_arg):
+        pipe = ConceptAttentionPipeline(
+            params, cfg, text_encoders=None, num_inference_steps=2,
+            compute_dtype="float32", mesh=mesh_arg,
+        )
+        return pipe(
+            "a red fox", height=64, width=64, seed=1,
+            concepts=["fox", "background"],
+            prompt_embeds=embeds, concept_embeds=cemb,
+        )
+
+    ref = run(None)
+    got = run(mesh)
+    # Verify the weights really are distributed (not a replicated no-op).
+    from s3od_tpu.datagen.diffusion import ConceptAttentionPipeline as _P
+
+    pipe_sharded = _P(params, cfg, text_encoders=None, mesh=mesh)
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda x: x.sharding.spec, pipe_sharded.params)
+    )
+    assert any(s != () and any(a == "fsdp" for a in s if a) for s in
+               (tuple(sp) for sp in shardings))
+    np.testing.assert_allclose(
+        np.asarray(got.latents), np.asarray(ref.latents), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        got.concept_maps["fox"], ref.concept_maps["fox"], atol=2e-4
+    )
