@@ -262,6 +262,7 @@ class BackgroundRemoval:
         depth: int = 3,
         post_workers: int = 2,
         pre_workers: int = 2,
+        batch: int = 1,
     ):
         """Pipelined product-path inference: yields `RemovalResult`s in order
         while overlapping host preprocess, device compute and host
@@ -275,25 +276,56 @@ class BackgroundRemoval:
         dispatch run on `pre_workers` threads so per-transfer upload latency
         (large when the device sits behind a network relay) overlaps across
         images. In-flight work is bounded by depth + post_workers, so memory
-        stays flat on arbitrarily long streams."""
+        stays flat on arbitrarily long streams.
+
+        `batch` > 1 trades per-image latency for device throughput: images
+        are grouped into `batch`-sized device steps (batch 16 is the v5e
+        sweet spot — 20.0 vs 22.7 ms/img at batch 1, exp_batch16.py); the
+        stream's final partial group pads up to `batch` and discards the
+        pad outputs, keeping one compiled shape."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         fn = self._forward_fn(self.image_size)
 
-        def launch(image):
-            if isinstance(image, Image.Image):
-                image = np.array(image.convert("RGB"))
-            padded, pad_info = self._preprocess(image)
-            masks, ious = fn(self.params, self.state, jnp.asarray(padded[None]))
-            return image, pad_info, masks, ious
+        def launch(group):
+            if not isinstance(group, list):
+                group = [group]
+            arrays, infos = [], []
+            for image in group:
+                if isinstance(image, Image.Image):
+                    image = np.array(image.convert("RGB"))
+                padded, pad_info = self._preprocess(image)
+                arrays.append(image)
+                infos.append((padded, pad_info))
+            n = len(arrays)
+            stack = [p for p, _ in infos]
+            stack += [stack[0]] * (batch - n) if batch > 1 else []
+            masks, ious = fn(self.params, self.state,
+                             jnp.asarray(np.stack(stack)))
+            return arrays, [pi for _, pi in infos], masks, ious
 
-        def post(image, pad_info, masks, ious):
-            m = np.moveaxis(np.asarray(masks[0]).astype(np.float32), -1, 0)
-            all_ious = np.asarray(ious[0], dtype=np.float32)
-            return self._postprocess(image, pad_info, m, all_ious)
+        def post(arrays, pad_infos, masks, ious):
+            out = []
+            for j, (image, pad_info) in enumerate(zip(arrays, pad_infos)):
+                m = np.moveaxis(
+                    np.asarray(masks[j]).astype(np.float32), -1, 0
+                )
+                all_ious = np.asarray(ious[j], dtype=np.float32)
+                out.append(self._postprocess(image, pad_info, m, all_ious))
+            return out
 
-        it = iter(images)
+        def _grouped(seq):
+            g = []
+            for im in seq:
+                g.append(im)
+                if len(g) == batch:
+                    yield g
+                    g = []
+            if g:
+                yield g
+
+        it = _grouped(iter(images)) if batch > 1 else iter(images)
         inflight: deque = deque()  # futures from the pre pool, in order
         done: deque = deque()
         with ThreadPoolExecutor(post_workers) as pool, \
@@ -312,7 +344,7 @@ class BackgroundRemoval:
                     # in `done` — this is what keeps memory flat on
                     # arbitrarily long streams.
                     while len(done) >= depth + post_workers:
-                        yield done.popleft().result()
+                        yield from done.popleft().result()
                     # Hand the oldest step to a postprocess worker; its
                     # np.asarray readback blocks that worker, not the
                     # dispatch loop. .result() waits only for the upload +
@@ -322,10 +354,10 @@ class BackgroundRemoval:
                 elif not done:
                     break
                 while done and (done[0].done() or not inflight):
-                    yield done.popleft().result()
+                    yield from done.popleft().result()
                 if exhausted and not inflight:
                     while done:
-                        yield done.popleft().result()
+                        yield from done.popleft().result()
                     break
 
     def remove_background_batch(

@@ -151,6 +151,33 @@ def test_remove_background_stream_matches_single(circle_image):
         assert res.rgba_image.size == ref.rgba_image.size
 
 
+def test_remove_background_stream_batched_matches_single(circle_image):
+    """Throughput streaming (predictor.py stream `batch` param): images are
+    grouped into fixed-size device steps (the v5e sweet spot is batch 16);
+    ordered results and the padded final partial group must match the
+    one-at-a-time path."""
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    pred = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+    img, _ = circle_image
+    rng = np.random.default_rng(1)
+    images = [img] + [
+        (rng.random((80 + 9 * i, 100, 3)) * 255).astype(np.uint8)
+        for i in range(6)
+    ]
+    # batch=3 over 7 images -> groups [3, 3, 1(padded to 3)]
+    streamed = list(pred.remove_background_stream(images, depth=2, batch=3))
+    assert len(streamed) == len(images)
+    for im, res in zip(images, streamed):
+        ref = pred.remove_background(im)
+        np.testing.assert_allclose(
+            res.predicted_mask, ref.predicted_mask, atol=1e-6
+        )
+        np.testing.assert_allclose(res.all_ious, ref.all_ious, atol=1e-6)
+
+
 def test_server_stop_fails_queued_requests():
     """stop() must resolve still-queued futures with an error instead of
     leaving blocked submit() callers deadlocked."""
