@@ -308,8 +308,6 @@ class ConceptAttentionPipeline:
         exceeds per-chip HBM; see ``__init__``'s mesh doc."""
         import jax
 
-        from s3od_tpu.models.mmdit import init_mmdit_params
-
         cfg = MMDiTConfig()
         if checkpoint:
             from s3od_tpu.convert import load_native
@@ -324,7 +322,13 @@ class ConceptAttentionPipeline:
         if fsdp is not None and "mesh" not in kwargs:
             from s3od_tpu.parallel.mesh import make_mesh
 
-            n = len(jax.devices()) if fsdp in (-1, 0) else int(fsdp)
+            avail = len(jax.devices())
+            n = avail if fsdp in (-1, 0) else int(fsdp)
+            if n > avail:
+                raise ValueError(
+                    f"fsdp={n} exceeds the {avail} visible device(s); use "
+                    f"fsdp=-1 to shard over all of them or pick <= {avail}"
+                )
             kwargs["mesh"] = make_mesh(dp=1, fsdp=n,
                                        devices=jax.devices()[:n])
         return cls(params, cfg, **kwargs)

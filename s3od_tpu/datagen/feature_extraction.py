@@ -107,14 +107,9 @@ def run(config_path: str, task_id: Optional[int] = None,
         num_inference_steps=cfg.get("num_inference_steps", 28),
         fsdp=cfg.get("fsdp"),
     )
-    from s3od_tpu.convert import load_native
-    from s3od_tpu.models.vae import VAE, VAEConfig
+    from s3od_tpu.models.vae import load_vae
 
-    # load_native returns (params, state); the VAE npz stores
-    # {'enc','dec'} inside params (convert_flux.py save layout).
-    tree, _ = load_native(cfg["vae_checkpoint"])
-    vae = VAE(tree["enc"], tree["dec"], VAEConfig())
-    extractor = FluxFeatureExtractor(pipeline, vae)
+    extractor = FluxFeatureExtractor(pipeline, load_vae(cfg["vae_checkpoint"]))
 
     jobs = []
     for dataset in cfg["datasets"]:

@@ -120,13 +120,10 @@ def make_backend(cfg: GenerationConfig) -> ImageBackend:
         fsdp=cfg.fsdp,
     )
     if cfg.vae_checkpoint:
-        # Pixels require the VAE decoder (pipeline.generate raises without
-        # it); npz layout is {'enc','dec'} (convert_flux.py).
-        from s3od_tpu.convert import load_native
-        from s3od_tpu.models.vae import VAE, VAEConfig
+        # Pixels require the VAE decoder (pipeline.generate raises without).
+        from s3od_tpu.models.vae import load_vae
 
-        tree, _ = load_native(cfg.vae_checkpoint)
-        pipeline.vae = VAE(tree["enc"], tree["dec"], VAEConfig())
+        pipeline.vae = load_vae(cfg.vae_checkpoint)
     return pipeline
 
 

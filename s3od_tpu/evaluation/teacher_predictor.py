@@ -71,11 +71,9 @@ class SODTeacherPredictor:
     @property
     def vae(self):
         if self._vae is None:
-            from s3od_tpu.convert import load_native
-            from s3od_tpu.models.vae import VAE, VAEConfig
+            from s3od_tpu.models.vae import load_vae
 
-            tree, _ = load_native(self._vae_checkpoint)
-            self._vae = VAE(tree["enc"], tree["dec"], VAEConfig())
+            self._vae = load_vae(self._vae_checkpoint)
         return self._vae
 
     def extract_flux_features(self, image: np.ndarray, caption: str, tag: str):

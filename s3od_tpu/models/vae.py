@@ -221,3 +221,14 @@ def init_vae_params(key: jax.Array, cfg: VAEConfig):
         "conv_out": conv(chans[0], 3, 3),
     }
     return enc, dec
+
+
+def load_vae(path: str, cfg: VAEConfig | None = None) -> "VAE":
+    """Build a VAE from a converted .npz (layout {'enc','dec'} inside params,
+    `datagen/convert_flux.py` save format) — the one loader shared by the
+    generation backend, offline feature extraction and the teacher
+    predictor."""
+    from s3od_tpu.convert import load_native
+
+    tree, _ = load_native(path)
+    return VAE(tree["enc"], tree["dec"], cfg or VAEConfig())

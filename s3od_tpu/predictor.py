@@ -306,13 +306,14 @@ class BackgroundRemoval:
             return arrays, [pi for _, pi in infos], masks, ious
 
         def post(arrays, pad_infos, masks, ious):
+            # ONE batched readback per group (per-slice np.asarray would
+            # issue 2*batch device->host transfers — costly over the relay).
+            masks_np = np.asarray(masks).astype(np.float32)
+            ious_np = np.asarray(ious, dtype=np.float32)
             out = []
             for j, (image, pad_info) in enumerate(zip(arrays, pad_infos)):
-                m = np.moveaxis(
-                    np.asarray(masks[j]).astype(np.float32), -1, 0
-                )
-                all_ious = np.asarray(ious[j], dtype=np.float32)
-                out.append(self._postprocess(image, pad_info, m, all_ious))
+                m = np.moveaxis(masks_np[j], -1, 0)
+                out.append(self._postprocess(image, pad_info, m, ious_np[j]))
             return out
 
         def _grouped(seq):

@@ -7,7 +7,7 @@ jitted forward for the whole batch, and distributes results. Throughput
 scales with batch while keeping tail latency bounded.
 
 Usage:
-    server = InferenceServer(BackgroundRemoval(...), max_batch=8)
+    server = InferenceServer(BackgroundRemoval(...), max_batch=16)
     server.start()
     result = server.submit(image)          # blocking, thread-safe
     futures = [server.submit_async(im) for im in imgs]
@@ -34,7 +34,9 @@ class InferenceServer:
         self,
         predictor,
         *,
-        max_batch: int = 8,
+        # 16 = the measured v5e throughput sweet spot at 1024px
+        # (benchmarks/exp_batch16.py; batch 32 OOMs).
+        max_batch: int = 16,
         max_wait_ms: float = 10.0,
     ):
         self.predictor = predictor
