@@ -14,7 +14,6 @@ from __future__ import annotations
 import logging
 from typing import List, Sequence
 
-import numpy as np
 
 from s3od_tpu.datagen.filtering import (
     BaseFilter,

@@ -12,7 +12,6 @@ tree gets gradients).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

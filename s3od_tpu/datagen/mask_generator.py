@@ -10,7 +10,6 @@ diffusion backend (s3od_tpu/datagen/diffusion.py) or precomputed .npz files.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ an OOM workaround that TPU HBM does not need at ~1MP).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

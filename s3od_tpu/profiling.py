@@ -19,7 +19,7 @@ import gzip
 import json
 import re
 import time
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict
 
 
 def slope_time(

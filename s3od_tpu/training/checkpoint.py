@@ -14,7 +14,6 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax
-import numpy as np
 
 
 class CheckpointManager:

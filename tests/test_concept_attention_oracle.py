@@ -23,8 +23,6 @@ weights and diffusers, impossible offline).
 from __future__ import annotations
 
 import importlib.util
-import sys
-import types
 from pathlib import Path
 
 import numpy as np

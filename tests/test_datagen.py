@@ -1,7 +1,6 @@
 """Synthetic-data factory tests: orchestration, sharding/resume, filtering."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 import pytest
@@ -11,7 +10,6 @@ from s3od_tpu.datagen.filtering import (
     FilterPipeline,
     FilterResult,
     BaseFilter,
-    Sample,
     calculate_iou,
 )
 from s3od_tpu.datagen.generate_train_images import (

@@ -8,8 +8,6 @@ import pytest
 from s3od_tpu.evaluation.metrics import (
     MetricAccumulator,
     e_measure_curve,
-    f_measures,
-    mae,
     s_measure,
     weighted_f_measure,
 )
