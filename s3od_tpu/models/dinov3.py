@@ -234,16 +234,20 @@ def vit_block(
             out_bhnd, p["attention"]["o_proj"], x, p["ls1"], p["norm2"],
             eps=eps, block_n=block_q, interpret=_QKV_FUSED_INTERPRET,
         )
+        from s3od_tpu.ops.mlp_fused import fits_vmem, mlp_fused
+
         if (
             (_MLP_FUSED_ENABLED or _QKV_FUSED_INTERPRET)
             and not cfg.use_gated_mlp
             and "bias" in p["mlp"]["up_proj"]
+            # ViT-L (C=1024, F=4096): the kernel's VMEM-resident weights
+            # alone exceed the 16 MB scope — XLA path (hardware-verified
+            # scoped-vmem OOM otherwise).
+            and fits_vmem(cfg.hidden_size, cfg.intermediate_size)
         ):
             # Fused MLP: up-proj + erf-GELU + down-proj + residual in one
             # Pallas pass — the (N, 4C) hidden never touches HBM
             # (s3od_tpu/ops/mlp_fused.py).
-            from s3od_tpu.ops.mlp_fused import mlp_fused
-
             return mlp_fused(
                 h, p["mlp"], x, p["ls2"], block_n=block_q,
                 interpret=_QKV_FUSED_INTERPRET,

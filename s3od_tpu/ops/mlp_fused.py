@@ -95,6 +95,15 @@ def _pick_block(n: int, c: int, f: int, block_n: int) -> int:
     return bn
 
 
+def fits_vmem(c: int, f: int) -> bool:
+    """Whether the kernel can fit the 16 MB scoped-VMEM budget at all: the
+    two weight matrices are VMEM-resident for the whole program, so at
+    ViT-L dims (C=1024, F=4096 -> 16.8 MB bf16 weights alone) no row block
+    fits and the caller must use the XLA path (hardware receipt: scoped
+    vmem OOM at forward.119, benchmarks/RESULTS.md ViT-L note)."""
+    return 2 * c * f * 2 + 8 * (6 * c * 2 + f * 6 + c * 4) <= 15 * 2**20
+
+
 def _forward(x, wu, bu, wd, bd, res, ls, block_n, interpret):
     b, n, c = x.shape
     f = wu.shape[1]

@@ -993,3 +993,15 @@ def test_dpt_bnfolded_decoder_winograd_matches_xla(monkeypatch):
         a, r = np.asarray(got[kk]), np.asarray(ref[kk])
         rel = np.max(np.abs(a - r)) / (np.max(np.abs(r)) + 1e-9)
         assert rel < 5e-5, (kk, rel)
+
+
+def test_mlp_fused_vmem_gate():
+    """ops/mlp_fused.py fits_vmem: ViT-B dims fit the 16 MB scoped-VMEM
+    budget, ViT-L dims (C=1024, F=4096 -> 16.8 MB resident weights alone)
+    do NOT — models/dinov3.py must route ViT-L to the XLA MLP (hardware
+    receipt: scoped-vmem OOM, RESULTS.md ViT-L note)."""
+    from s3od_tpu.ops.mlp_fused import fits_vmem
+
+    assert fits_vmem(768, 3072)       # ViT-B
+    assert fits_vmem(384, 1536)       # ViT-S
+    assert not fits_vmem(1024, 4096)  # ViT-L
