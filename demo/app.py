@@ -158,7 +158,9 @@ _FORM = """<!doctype html><title>S3OD-TPU demo</title>
 </form>"""
 
 
-def launch_http(default_model: str, port: int):
+def make_http_server(default_model: str, port: int):
+    """Build (not run) the stdlib HTTP server — separated so tests can
+    serve on an ephemeral port in a thread."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     get_detector(default_model)
@@ -179,16 +181,37 @@ def launch_http(default_model: str, port: int):
             self.wfile.write(body)
 
         def _read_image(self):
-            import cgi
+            # No `cgi` (removed in Python 3.13): multipart via the email
+            # parser; a non-multipart POST body is treated as raw image
+            # bytes (handy for `curl --data-binary @img.png /predict`).
+            ctype = self.headers.get("Content-Type", "")
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            method = "transparent"
+            if ctype.startswith("multipart/form-data"):
+                import email
+                import email.policy
 
-            form = cgi.FieldStorage(
-                fp=self.rfile, headers=self.headers,
-                environ={"REQUEST_METHOD": "POST",
-                         "CONTENT_TYPE": self.headers["Content-Type"]},
-            )
-            item = form["image"]
-            img = Image.open(io.BytesIO(item.file.read())).convert("RGB")
-            method = form.getvalue("method", "transparent")
+                msg = email.message_from_bytes(
+                    b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body,
+                    policy=email.policy.HTTP,
+                )
+                data = None
+                for part in msg.iter_parts():
+                    name = part.get_param(
+                        "name", header="Content-Disposition"
+                    )
+                    if name == "image":
+                        data = part.get_payload(decode=True)
+                    elif name == "method":
+                        method = (
+                            part.get_payload(decode=True).decode().strip()
+                        )
+                if data is None:
+                    raise ValueError("multipart body has no 'image' field")
+            else:
+                data = body
+            img = Image.open(io.BytesIO(data)).convert("RGB")
             return np.array(img), method
 
         def do_POST(self):
@@ -224,8 +247,13 @@ def launch_http(default_model: str, port: int):
             self.end_headers()
             self.wfile.write(html)
 
+    return HTTPServer(("0.0.0.0", port), Handler)
+
+
+def launch_http(default_model: str, port: int):
+    server = make_http_server(default_model, port)
     print(f"Serving on http://0.0.0.0:{port} (POST /predict for raw RGBA PNG)")
-    HTTPServer(("0.0.0.0", port), Handler).serve_forever()
+    server.serve_forever()
 
 
 def main():
