@@ -202,6 +202,31 @@ class BackgroundRemoval:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    @staticmethod
+    def _as_rgb_uint8(image) -> np.ndarray:
+        """Normalize any accepted input to (H, W, 3) uint8: PIL (any mode),
+        grayscale 2D / (H, W, 1), RGBA (alpha dropped, as PIL convert("RGB")
+        does in the reference), and float arrays (0-1 or 0-255 ranges)."""
+        if isinstance(image, Image.Image):
+            return np.array(image.convert("RGB"))
+        a = np.asarray(image)
+        if a.ndim == 2:
+            a = np.stack([a] * 3, axis=-1)
+        elif a.ndim == 3 and a.shape[-1] == 1:
+            a = np.repeat(a, 3, axis=-1)
+        elif a.ndim == 3 and a.shape[-1] == 4:
+            a = a[..., :3]
+        if a.ndim != 3 or a.shape[-1] != 3:
+            raise ValueError(
+                f"expected an RGB/grayscale/RGBA image, got shape {a.shape}"
+            )
+        if a.dtype != np.uint8:
+            af = a.astype(np.float32)
+            if af.size and float(af.max()) <= 1.0:
+                af = af * 255.0
+            a = np.clip(af, 0.0, 255.0).astype(np.uint8)
+        return a
+
     def _preprocess(self, image: np.ndarray) -> Tuple[np.ndarray, Dict[str, Any]]:
         pad_info = get_pad_info(image, self.image_size)
         resized = _resize_image(image, pad_info["resized_size"])
@@ -242,9 +267,7 @@ class BackgroundRemoval:
         image: Union[np.ndarray, Image.Image],
         threshold: float = 0.5,
     ) -> RemovalResult:
-        if isinstance(image, Image.Image):
-            image = np.array(image.convert("RGB"))
-
+        image = self._as_rgb_uint8(image)
         padded, pad_info = self._preprocess(image)
         masks, ious = self._forward_fn(self.image_size)(
             self.params, self.state, jnp.asarray(padded[None])
@@ -293,8 +316,7 @@ class BackgroundRemoval:
                 group = [group]
             arrays, infos = [], []
             for image in group:
-                if isinstance(image, Image.Image):
-                    image = np.array(image.convert("RGB"))
+                image = self._as_rgb_uint8(image)
                 padded, pad_info = self._preprocess(image)
                 arrays.append(image)
                 infos.append((padded, pad_info))
@@ -377,10 +399,7 @@ class BackgroundRemoval:
         reuses at most ~log2(chunk) compiled shapes across calls instead of
         retracing per distinct length (each 1024px compile costs tens of
         seconds)."""
-        arrays = [
-            np.array(im.convert("RGB")) if isinstance(im, Image.Image) else im
-            for im in images
-        ]
+        arrays = [self._as_rgb_uint8(im) for im in images]
         pre = [self._preprocess(a) for a in arrays]
         n = len(pre)
         n_dev = self._mesh.size if self._mesh is not None else 1

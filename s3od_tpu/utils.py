@@ -17,7 +17,9 @@ def get_pad_info(image: np.ndarray, image_size: int = 1024) -> Dict[str, Any]:
     aspect_ratio = w / h
     if aspect_ratio > 1:
         new_w = image_size
-        new_h = int(new_w / aspect_ratio)
+        # max(1, ...): extreme aspect ratios (e.g. 1 x 5000) would otherwise
+        # round the short side to 0 and crash the resize downstream.
+        new_h = max(1, int(new_w / aspect_ratio))
         return {
             "height_pad": (image_size - new_h) // 2,
             "width_pad": 0,
@@ -25,7 +27,7 @@ def get_pad_info(image: np.ndarray, image_size: int = 1024) -> Dict[str, Any]:
             "resized_size": (new_h, new_w),
         }
     new_h = image_size
-    new_w = int(new_h * aspect_ratio)
+    new_w = max(1, int(new_h * aspect_ratio))
     return {
         "height_pad": 0,
         "width_pad": (image_size - new_w) // 2,

@@ -175,3 +175,36 @@ def test_data_parallel_batch(circle_image):
     single = dp.remove_background(img)
     for r in results:
         np.testing.assert_allclose(r.predicted_mask, single.predicted_mask, atol=1e-5)
+
+
+def test_pathological_inputs(predictor):
+    """Input normalization (predictor.py _as_rgb_uint8 + utils.get_pad_info
+    min-side clamp): extreme aspect ratios, grayscale, RGBA and float
+    images must all produce a mask of the original spatial shape."""
+    rng = np.random.default_rng(0)
+    cases = {
+        "1x1": rng.integers(0, 255, (1, 1, 3), dtype=np.uint8),
+        "1x500": rng.integers(0, 255, (1, 500, 3), dtype=np.uint8),
+        "500x1": rng.integers(0, 255, (500, 1, 3), dtype=np.uint8),
+        "gray2d": rng.integers(0, 255, (60, 80), dtype=np.uint8),
+        "gray3d": rng.integers(0, 255, (60, 80, 1), dtype=np.uint8),
+        "rgba": rng.integers(0, 255, (60, 80, 4), dtype=np.uint8),
+        "float01": rng.random((60, 80, 3)).astype(np.float32),
+        "float255": (rng.random((60, 80, 3)) * 255).astype(np.float32),
+    }
+    for name, img in cases.items():
+        r = predictor.remove_background(img)
+        assert r.predicted_mask.shape == img.shape[:2], name
+        assert r.rgba_image.size == (img.shape[1], img.shape[0]), name
+    with pytest.raises(ValueError):
+        predictor.remove_background(np.zeros((4, 5, 7), np.uint8))
+
+
+def test_rgba_alpha_dropped_matches_rgb(predictor, circle_image):
+    """RGBA input must predict identically to its RGB channels (the
+    reference's PIL convert("RGB") semantics)."""
+    img, _ = circle_image
+    rgba = np.dstack([img, np.full(img.shape[:2], 200, np.uint8)])
+    a = predictor.remove_background(rgba)
+    b = predictor.remove_background(img)
+    np.testing.assert_array_equal(a.predicted_mask, b.predicted_mask)
