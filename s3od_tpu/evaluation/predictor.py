@@ -111,6 +111,11 @@ class SODPredictor:
         return self._jit
 
     def _letterbox(self, image: np.ndarray):
+        # Same input normalization as the product predictor: grayscale /
+        # RGBA / float arrays (some SOD eval sets ship grayscale images).
+        from s3od_tpu.predictor import BackgroundRemoval
+
+        image = BackgroundRemoval._as_rgb_uint8(image)
         pad_info = get_pad_info(image, self.image_size)
         resized = _resize_image(image, pad_info["resized_size"])
         canvas = np.zeros((self.image_size, self.image_size, 3), np.uint8)

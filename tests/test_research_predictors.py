@@ -84,3 +84,19 @@ def test_teacher_predict_from_npz(tmp_path):
     r = tp.predict_from_npz(img, str(npz))
     assert r.soft_mask.shape == (100, 100)
     assert r.num_masks == 3
+
+
+def test_sod_predictor_input_normalization(predictor):
+    """Grayscale / RGBA / float inputs normalize like the product
+    predictor (some SOD eval sets ship grayscale images)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+    for img in (
+        rgb[..., 0],                                   # 2D grayscale
+        np.dstack([rgb, np.full((60, 80), 255, np.uint8)]),  # RGBA
+        rgb.astype(np.float32) / 255.0,                # float 0-1
+    ):
+        r = predictor.predict(img)
+        assert r.soft_mask.shape == (60, 80)
