@@ -79,3 +79,21 @@ def test_sm_only_mode():
     acc.step(pred, gt)
     out = acc.compute()
     assert set(out.keys()) == {"Sm"}
+
+
+def test_metrics_degenerate_masks_finite():
+    """Degenerate inputs (empty/full GT, empty pred, 1x1) must yield
+    finite metrics — the reference's numpy metrics can hit 0/0 here."""
+    rng = np.random.default_rng(0)
+    cases = [
+        (rng.random((64, 64)).astype(np.float32), np.zeros((64, 64), np.float32)),
+        (rng.random((64, 64)).astype(np.float32), np.ones((64, 64), np.float32)),
+        (np.zeros((64, 64), np.float32), (rng.random((64, 64)) > 0.5).astype(np.float32)),
+        (np.zeros((64, 64), np.float32), np.zeros((64, 64), np.float32)),
+        (np.ones((1, 1), np.float32) * 0.7, np.ones((1, 1), np.float32)),
+    ]
+    for pred, gt in cases:
+        acc = MetricAccumulator()
+        acc.step(pred, gt)
+        m = acc.compute()
+        assert all(np.isfinite(v) for v in m.values()), m
