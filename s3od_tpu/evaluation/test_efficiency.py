@@ -75,7 +75,12 @@ def run_benchmark(
     run(2)  # warm
     t1 = min(run(2) for _ in range(2))
     t2 = min(run(2 + iterations) for _ in range(2))
+    # Slope can come out <= 0 for tiny models under host load jitter; fall
+    # back to the absolute timing of the larger run (upper-bounds latency,
+    # keeps the report finite and positive).
     dt = (t2 - t1) / iterations
+    if dt <= 0:
+        dt = t2 / (2 + iterations)
     fps = batch / dt
 
     if trace_dir:

@@ -33,6 +33,35 @@ def micro_dice_iou(sums: Dict[str, float]) -> Dict[str, float]:
     return {"iou": iou, "dice": dice}
 
 
+def _compose_loss_config(loss_cfg) -> Dict:
+    """Resolve the loss group into a LossModule config.
+
+    Mirrors the reference's fully Hydra-configurable criterion list
+    (`config/loss/*.yaml` + `loss.py:236-246`): the preset supplies the
+    criterion list, and overrides can replace it (`loss.criterions=[...]`),
+    retune per-criterion weights (`loss.weights.<name>=<w>`), or adjust the
+    multi-mask terms (`loss.full_mask_lambda=`, `loss.decay_rate=`).
+    """
+    import copy
+
+    from s3od_tpu.training.loss import LOSS_PRESETS
+
+    composed = copy.deepcopy(LOSS_PRESETS[loss_cfg.preset])
+    if "criterions" in loss_cfg:
+        composed["criterions"] = copy.deepcopy(loss_cfg["criterions"])
+    for key in ("full_mask_lambda", "decay_rate"):
+        if key in loss_cfg:
+            composed[key] = float(loss_cfg[key])
+    weights = loss_cfg.get("weights") or {}
+    unknown = set(weights) - {c["name"] for c in composed["criterions"]}
+    if unknown:
+        raise ValueError(f"loss.weights for unknown criterions: {sorted(unknown)}")
+    for crit in composed["criterions"]:
+        if crit["name"] in weights:
+            crit["weight"] = float(weights[crit["name"]])
+    return composed
+
+
 def get_experiment_name(cfg) -> str:
     """Reference naming: model_dataset_loss_timestamp (`train.py:58-69`)."""
     stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -123,7 +152,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     from s3od_tpu.training.checkpoint import CheckpointManager, EarlyStopping
     from s3od_tpu.training.config import load_config
     from s3od_tpu.training.data import PrefetchLoader, build_dataset
-    from s3od_tpu.training.loss import LOSS_PRESETS, LossModule
+    from s3od_tpu.training.loss import LossModule
     from s3od_tpu.training.optim import make_optimizer
     from s3od_tpu.training.train_step import (
         TrainState,
@@ -253,7 +282,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         jnp.bfloat16 if cfg.backend.precision == "bf16" else jnp.float32
     )
     mode = cfg.dataset.transform_mode
-    loss_module = LossModule(LOSS_PRESETS[cfg.loss.preset])
+    loss_module = LossModule(_compose_loss_config(cfg.loss))
 
     def train_pre(rng, batch):
         if is_teacher:

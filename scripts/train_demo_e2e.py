@@ -41,6 +41,12 @@ def main():
                     help="'test' disables augmentation — from-scratch runs "
                          "on the color-grouping demo data stall under color "
                          "jitter (the object's color cue is the signal)")
+    ap.add_argument("--iou-mse-weight", type=float, default=None,
+                    help="override the IoU-head MSE criterion weight "
+                         "(preset 0.05). The r2 demo run showed the IoU "
+                         "head is the slowest-learning component from "
+                         "scratch (holdout selection lags best-mask IoU); "
+                         "a larger weight speeds up mask selection.")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (mechanics dry-run)")
     args = ap.parse_args()
@@ -91,7 +97,10 @@ def main():
         "backend.precision=32",
         f"base_dir={exp_dir}",
         "experiment_name=demo",
-    ])
+    ] + (
+        [f"loss.weights.mse_ious_loss={args.iou_mse_weight}"]
+        if args.iou_mse_weight is not None else []
+    ))
     print("final metrics:", json.dumps(metrics, indent=None, default=float))
 
     # ------------------------------------------------------------------

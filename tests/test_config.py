@@ -99,3 +99,30 @@ def test_dinol_variant_matches_reference_layout():
     assert mcfg.encoder.hidden_size // mcfg.encoder.num_heads == 64  # flash D
     assert tuple(mcfg.tap_layers) == (4, 11, 17, 23)
     assert mcfg.num_encoder_layers_used == 23
+
+
+def test_loss_weight_overrides_compose():
+    """Per-criterion weight overrides (the reference tunes these in
+    `config/loss/*.yaml`): `loss.weights.<name>=` retunes one criterion,
+    `loss.full_mask_lambda=` adjusts the multi-mask term, the preset
+    itself stays untouched, and unknown names fail loudly."""
+    from s3od_tpu.training.loss import LOSS_PRESETS
+    from s3od_tpu.training.train import _compose_loss_config
+
+    cfg = load_config(overrides=[
+        "loss=focal_iou",
+        "loss.weights.mse_ious_loss=1.0",
+        "loss.full_mask_lambda=0.25",
+    ])
+    composed = _compose_loss_config(cfg.loss)
+    by_name = {c["name"]: c for c in composed["criterions"]}
+    assert by_name["mse_ious_loss"]["weight"] == 1.0
+    assert by_name["focal_loss"]["weight"] == 20  # untouched sibling
+    assert composed["full_mask_lambda"] == 0.25
+    # Preset default is untouched (deepcopy).
+    preset = {c["name"]: c for c in LOSS_PRESETS["focal_iou"]["criterions"]}
+    assert preset["mse_ious_loss"]["weight"] == 0.05
+
+    bad = load_config(overrides=["loss=focal_iou", "loss.weights.nope=2"])
+    with pytest.raises(ValueError, match="unknown criterions"):
+        _compose_loss_config(bad.loss)
