@@ -24,7 +24,12 @@ from s3od_tpu.configs import SegmentationConfig
 from s3od_tpu.models.segmentation import segmentation_forward
 from s3od_tpu.ops.resize import resize_bilinear_numpy
 from s3od_tpu.predictor import IMAGENET_MEAN, IMAGENET_STD, _resize_image
-from s3od_tpu.utils import get_pad_info, remove_padding
+from s3od_tpu.utils import (
+    as_rgb_uint8,
+    get_pad_info,
+    place_on_canvas,
+    remove_padding,
+)
 
 
 @dataclass
@@ -113,20 +118,13 @@ class SODPredictor:
     def _letterbox(self, image: np.ndarray):
         # Same input normalization as the product predictor: grayscale /
         # RGBA / float arrays (some SOD eval sets ship grayscale images).
-        from s3od_tpu.predictor import BackgroundRemoval
-
-        image = BackgroundRemoval._as_rgb_uint8(image)
+        image = as_rgb_uint8(image)
         pad_info = get_pad_info(image, self.image_size)
         resized = _resize_image(image, pad_info["resized_size"])
-        canvas = np.zeros((self.image_size, self.image_size, 3), np.uint8)
-        hp, wp = pad_info["height_pad"], pad_info["width_pad"]
-        if hp > 0:
-            canvas[hp : hp + resized.shape[0], :] = resized
-        elif wp > 0:
-            canvas[:, wp : wp + resized.shape[1]] = resized
-        else:
-            canvas = resized
-        return canvas, pad_info
+        # Shared exact-size placement: near-square inputs can resize to
+        # e.g. (S, S-1) with both pads 0 — a bare `canvas = resized` would
+        # feed a non-square, non-patch-divisible array to the jit forward.
+        return place_on_canvas(resized, self.image_size, pad_info), pad_info
 
     def _postprocess(self, masks, ious, pad_info, threshold):
         unpadded = remove_padding(masks, pad_info)

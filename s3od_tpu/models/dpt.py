@@ -48,6 +48,14 @@ _CONVT_UP_ENABLED = _os.environ.get("S3OD_CONVT_UP", "1") == "1"
 # beats XLA; see benchmarks/exp_mask_tail.py and ops/mask_tail.py.
 MASK_TAIL_FUSED = False
 
+# Batch-pair channel packing for the full-res tail: packs two images into
+# the channel dim with block-diagonal kernels so the 64-channel full-res ops
+# fill the 128 lanes they otherwise pad to. Hardware-measured NEGATIVE
+# (exp_chanpack.py: noise at batch 8, -7% at batch 16 — the 2x MACs on the
+# packed stages beat the padding saved); kept gated off as a documented
+# negative result. See benchmarks/RESULTS.md "Batch-16 trace attribution".
+_CHANPACK_ENABLED = _os.environ.get("S3OD_CHANPACK", "0") == "1"
+
 
 def _mask_tail_available() -> bool:
     from s3od_tpu.ops.attention import _flash_available
@@ -143,6 +151,50 @@ def _fusion_block(
     x = conv1x1(x, p["out_conv"])
     x = resize_bilinear(x, out_hw)
     return x, new_s
+
+
+def _block_diag_kernel(k: jax.Array) -> jax.Array:
+    """(kh, kw, ci, co) -> (kh, kw, 2ci, 2co) with k on the diagonal blocks."""
+    z = jnp.zeros_like(k)
+    top = jnp.concatenate([k, z], axis=-1)
+    bot = jnp.concatenate([z, k], axis=-1)
+    return jnp.concatenate([top, bot], axis=2)
+
+
+def _mask_tail_packed(feat, mh, k_fused, b_fused, k1, b1):
+    """Mask-head tail with two images packed into the channel dimension.
+
+    Computes convT(k4s2) -> ReLU -> 3x3 -> ReLU -> fused-branch 3x3 -> ReLU
+    -> block-diag 1x1 (`src/s3od/model.py:430-467` semantics) on (B/2)-batch
+    tensors whose channel dim holds an image pair, so the 64-channel stages
+    fill all 128 lanes instead of padding. Exact: block-diagonal kernels'
+    off-diagonal zeros contribute exact +0.0 products.
+
+    feat: (B, H/2, W/2, C) output of output_conv1. Returns (B, H, W, n_out).
+    """
+    B, h2, w2, c = feat.shape
+    n_out = k1.shape[-1]
+    dt = feat.dtype
+    pairs = feat.reshape(B // 2, 2, h2, w2, c)
+    packed = jnp.concatenate([pairs[:, 0], pairs[:, 1]], axis=-1)
+
+    def bd(p):
+        return {
+            "kernel": _block_diag_kernel(p["kernel"].astype(dt)),
+            "bias": jnp.tile(p["bias"].astype(dt), 2),
+        }
+
+    x = conv_transpose2d(packed, bd(mh["up_deconv"]), stride=2, padding=1)
+    x = jax.nn.relu(x)
+    x = jax.nn.relu(conv2d(x, bd(mh["up_conv"]), padding=1))
+    x = jax.nn.relu(
+        conv2d(x, bd({"kernel": k_fused, "bias": b_fused}), padding=1)
+    )
+    k1p = _block_diag_kernel(k1[None, None].astype(dt))
+    m = conv2d(x, {"kernel": k1p, "bias": jnp.tile(b1.astype(dt), 2)})
+    hh, ww = m.shape[1:3]
+    m = jnp.stack([m[..., :n_out], m[..., n_out:]], axis=1)
+    return m.reshape(B, hh, ww, n_out)
 
 
 def dpt_head_forward(
@@ -248,10 +300,6 @@ def dpt_head_forward(
     # Mask head (`model.py:421-467`).
     mh = params["mask_head"]
     feat = conv2d(path1, mh["output_conv1"], padding=1)
-    # Dilated-form transposed conv measured faster than a subpixel
-    # decomposition here (the interleave's layout copies outweigh the 4x MAC
-    # saving on v5e).
-    feat = conv_transpose2d(feat, mh["up_deconv"], stride=2, padding=1)
     target = (ph * cfg.encoder.patch_size, pw * cfg.encoder.patch_size)
 
     # The reference runs 3 independent branch convs over the same features
@@ -270,6 +318,32 @@ def dpt_head_forward(
             head["conv1"]["kernel"][0, 0, :, 0].astype(feat.dtype)
         )
         b1 = b1.at[i].set(head["conv1"]["bias"][0].astype(feat.dtype))
+
+    # Batch-pair channel packing: the full-res tail is shape-eligible when
+    # the convT doubles feat exactly to the target canvas (same condition as
+    # the resize no-op) and the batch is even. Two images ride the 128 lanes
+    # that a 64-channel tensor would otherwise pad to. Exact (block-diagonal
+    # kernels; off-diagonal zeros add exact +0.0).
+    use_packed = (
+        _CHANPACK_ENABLED
+        and masks_nhwc
+        and not training
+        and feat.shape[0] % 2 == 0
+        and feat.shape[0] >= 8
+        and (feat.shape[1] * 2, feat.shape[2] * 2) == target
+    )
+    if use_packed:
+        m = _mask_tail_packed(feat, mh, k_fused, b_fused, k1, b1)
+        pred_masks = m
+        return (
+            {"pred_masks": pred_masks, "pred_iou": iou, "features": path1},
+            new_state,
+        )
+
+    # Dilated-form transposed conv measured faster than a subpixel
+    # decomposition here (the interleave's layout copies outweigh the 4x MAC
+    # saving on v5e).
+    feat = conv_transpose2d(feat, mh["up_deconv"], stride=2, padding=1)
 
     # Serving fast path: the whole tail (ReLU -> 3x3 -> ReLU -> fused 3x3
     # -> ReLU -> block-diag 1x1) as ONE Pallas kernel over row slabs —

@@ -27,7 +27,12 @@ from PIL import Image
 from s3od_tpu.configs import SegmentationConfig
 from s3od_tpu.models.segmentation import segmentation_forward
 from s3od_tpu.ops.resize import resize_bilinear_numpy
-from s3od_tpu.utils import get_pad_info, remove_padding
+from s3od_tpu.utils import (
+    as_rgb_uint8,
+    get_pad_info,
+    place_on_canvas,
+    remove_padding,
+)
 
 # ImageNet statistics (`src/s3od/predictor.py:42-43`).
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
@@ -202,41 +207,14 @@ class BackgroundRemoval:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    @staticmethod
-    def _as_rgb_uint8(image) -> np.ndarray:
-        """Normalize any accepted input to (H, W, 3) uint8: PIL (any mode),
-        grayscale 2D / (H, W, 1), RGBA (alpha dropped, as PIL convert("RGB")
-        does in the reference), and float arrays (0-1 or 0-255 ranges)."""
-        if isinstance(image, Image.Image):
-            return np.array(image.convert("RGB"))
-        a = np.asarray(image)
-        if a.ndim == 2:
-            a = np.stack([a] * 3, axis=-1)
-        elif a.ndim == 3 and a.shape[-1] == 1:
-            a = np.repeat(a, 3, axis=-1)
-        elif a.ndim == 3 and a.shape[-1] == 4:
-            a = a[..., :3]
-        if a.ndim != 3 or a.shape[-1] != 3:
-            raise ValueError(
-                f"expected an RGB/grayscale/RGBA image, got shape {a.shape}"
-            )
-        if a.dtype != np.uint8:
-            af = a.astype(np.float32)
-            if af.size and float(af.max()) <= 1.0:
-                af = af * 255.0
-            a = np.clip(af, 0.0, 255.0).astype(np.uint8)
-        return a
+    # Shared normalization (s3od_tpu/utils.py); kept as a method for callers
+    # that reach it through the class.
+    _as_rgb_uint8 = staticmethod(as_rgb_uint8)
 
     def _preprocess(self, image: np.ndarray) -> Tuple[np.ndarray, Dict[str, Any]]:
         pad_info = get_pad_info(image, self.image_size)
         resized = _resize_image(image, pad_info["resized_size"])
-        padded = np.zeros((self.image_size, self.image_size, 3), dtype=np.uint8)
-        hp, wp = pad_info["height_pad"], pad_info["width_pad"]
-        # Exact-size placement: the reference's `padded[hp:-hp] = resized`
-        # (`src/s3od/predictor.py:85-87`) crashes when canvas - new_size is
-        # odd (slice is one row larger than the resized image).
-        padded[hp : hp + resized.shape[0], wp : wp + resized.shape[1]] = resized
-        return padded, pad_info
+        return place_on_canvas(resized, self.image_size, pad_info), pad_info
 
     @staticmethod
     def _postprocess(image: np.ndarray, pad_info, masks_nc: np.ndarray,

@@ -74,6 +74,11 @@ def build_oracle(workdir: Path):
 
 
 def check(name, results, idxs, ref_masks, ref_ious):
+    # A short result list must FAIL, not silently truncate the zip: a
+    # dropped tail chunk is exactly the regression this harness exists for.
+    assert len(results) == len(idxs), (
+        f"[{name}] expected {len(idxs)} results, got {len(results)}"
+    )
     worst_m = worst_i = 0.0
     for i, r in zip(idxs, results):
         worst_m = max(worst_m, float(np.max(np.abs(

@@ -208,3 +208,50 @@ def test_rgba_alpha_dropped_matches_rgb(predictor, circle_image):
     a = predictor.remove_background(rgba)
     b = predictor.remove_background(img)
     np.testing.assert_array_equal(a.predicted_mask, b.predicted_mask)
+
+
+def test_as_rgb_uint8_integer_dtypes_and_zero_dims():
+    """Review findings: uint16 must rescale (not saturate to white), bool
+    must map to 0/255, and zero-sized images must raise a clear ValueError
+    instead of a bare ZeroDivisionError in the letterbox math."""
+    from s3od_tpu.utils import as_rgb_uint8, get_pad_info
+
+    u16 = np.full((4, 4, 3), 30000, np.uint16)
+    out = as_rgb_uint8(u16)
+    assert out.dtype == np.uint8
+    assert int(out[0, 0, 0]) == 30000 >> 8  # rescaled, not clipped to 255
+
+    b = as_rgb_uint8(np.ones((4, 4), np.bool_))
+    assert b.max() == 255 and b.shape == (4, 4, 3)
+
+    i32 = as_rgb_uint8(np.full((4, 4, 3), 300, np.int32))
+    assert i32.max() == 255  # clipped
+
+    with pytest.raises(ValueError):
+        as_rgb_uint8(np.zeros((0, 5, 3), np.uint8))
+    with pytest.raises(ValueError):
+        get_pad_info(np.zeros((0, 5, 3), np.uint8))
+
+
+def test_research_letterbox_near_square_is_square():
+    """Review finding: a near-square image resizes to e.g. (S, S-1) with
+    both pads 0; the research predictor's letterbox must still produce a
+    square, patch-divisible canvas (the old `canvas = resized` shortcut
+    shipped a (S, S-1) array to the jitted forward)."""
+    from s3od_tpu.evaluation.predictor import SODPredictor
+
+    p = SODPredictor.__new__(SODPredictor)
+    p.image_size = 64
+    img = np.random.default_rng(0).integers(
+        0, 255, (640, 639, 3), dtype=np.uint8
+    )
+    canvas, pad_info = p._letterbox(img)
+    assert canvas.shape == (64, 64, 3)
+    assert pad_info["resized_size"] == (64, 63)
+    # And the product predictor path agrees on geometry.
+    from s3od_tpu.utils import get_pad_info, place_on_canvas
+
+    pi = get_pad_info(img, 64)
+    assert (pi["height_pad"], pi["width_pad"]) == (0, 0)
+    placed = place_on_canvas(np.ones((64, 63, 3), np.uint8), 64, pi)
+    assert placed.shape == (64, 64, 3) and placed[:, -1].sum() == 0

@@ -1005,3 +1005,34 @@ def test_mlp_fused_vmem_gate():
     assert fits_vmem(768, 3072)       # ViT-B
     assert fits_vmem(384, 1536)       # ViT-S
     assert not fits_vmem(1024, 4096)  # ViT-L
+
+
+def test_mask_tail_packed_matches_unpacked():
+    """Batch-pair channel packing (serving tail, S3OD_CHANPACK): the
+    block-diagonal packed tail must match the per-image ops exactly."""
+    import jax
+
+    import s3od_tpu.models.dpt as dpt_mod
+    from s3od_tpu.ops.conv import conv2d, conv_transpose2d
+
+    rng = np.random.default_rng(11)
+    B, h2, w2, c = 8, 6, 5, 8
+    cd, inter, n_out = 4, 2, 3
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+    feat = f32(B, h2, w2, c)
+    mh = {
+        "up_deconv": {"kernel": f32(4, 4, c, cd), "bias": f32(cd)},
+        "up_conv": {"kernel": f32(3, 3, cd, cd), "bias": f32(cd)},
+    }
+    k_fused, b_fused = f32(3, 3, cd, inter * n_out), f32(inter * n_out)
+    k1, b1 = f32(inter * n_out, n_out), f32(n_out)
+
+    x = conv_transpose2d(feat, mh["up_deconv"], stride=2, padding=1)
+    x = jax.nn.relu(x)
+    x = jax.nn.relu(conv2d(x, mh["up_conv"], padding=1))
+    x = jax.nn.relu(conv2d(x, {"kernel": k_fused, "bias": b_fused}, padding=1))
+    ref = conv2d(x, {"kernel": k1[None, None], "bias": b1})
+
+    got = dpt_mod._mask_tail_packed(feat, mh, k_fused, b_fused, k1, b1)
+    assert got.shape == (B, 2 * h2, 2 * w2, n_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
