@@ -487,13 +487,19 @@ def load_native_segmentation(path: str):
     """Load a native .npz segmentation checkpoint and infer its config
     from the encoder width: -> (params, state, SegmentationConfig).
     Single source of truth for every predictor's npz-load path."""
-    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.configs import segmentation_config, tiny_test_config
 
     params, state = load_native(str(path))
     hid = int(np.asarray(params["encoder"]["cls_token"]).shape[-1])
+    if hid == 64:
+        # The deterministic tiny test model (configs.tiny_test_config) —
+        # e.g. the committed trained fixture checkpoint
+        # tests/fixture/tiny_s3od.npz (scripts/train_tiny_fixture.py).
+        return params, state, tiny_test_config(
+            num_layers=len(params["encoder"]["blocks"]))
     if hid not in _HIDDEN_TO_ENCODER:
         raise ValueError(
             f"unknown encoder hidden size {hid} in {path}; known: "
-            f"{sorted(_HIDDEN_TO_ENCODER)}"
+            f"{sorted(_HIDDEN_TO_ENCODER)} and 64 (tiny test config)"
         )
     return params, state, segmentation_config(_HIDDEN_TO_ENCODER[hid])

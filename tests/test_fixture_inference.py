@@ -81,6 +81,50 @@ class TestFixtureStructure:
         )
 
 
+TINY_TRAINED = FIXTURE / "tiny_s3od.npz"
+
+
+@pytest.mark.skipif(not TINY_TRAINED.exists(),
+                    reason="committed tiny checkpoint missing")
+class TestTinyTrainedFixtureQuality:
+    """The reference's strongest behavioral contracts
+    (`tests/test_fixture_inference.py:54-134`: IoU >= 0.9 vs GT, alpha ==
+    best mask, threshold sweep), which it gates on a DOWNLOADED production
+    checkpoint — so they never run offline. Here they run on every CI pass
+    against a committed ~0.6M-param checkpoint that genuinely solves the
+    procedural fixture (trained by `scripts/train_tiny_fixture.py`),
+    loaded through the PUBLIC model_id path."""
+
+    @pytest.fixture(scope="class")
+    def predictor(self):
+        return BackgroundRemoval(
+            model_id=str(TINY_TRAINED), image_size=128, dtype="float32")
+
+    def test_iou_vs_gt(self, predictor, fixture_pair):
+        image, gt = fixture_pair
+        r = predictor.remove_background(image)
+        assert _iou(r.predicted_mask, gt) >= 0.9
+
+    def test_threshold_sweep_max_iou(self, predictor, fixture_pair):
+        image, gt = fixture_pair
+        for t in (0.3, 0.5, 0.7):
+            r = predictor.remove_background(image, threshold=t)
+            best = max(_iou(m > t, gt) for m in r.all_masks)
+            assert best >= 0.9, f"threshold {t}: best mask IoU {best:.3f}"
+
+    def test_alpha_matches_mask_and_structure(self, predictor, fixture_pair):
+        image, gt = fixture_pair
+        r = predictor.remove_background(image)
+        assert r.rgba_image.mode == "RGBA"
+        assert r.rgba_image.size == (image.shape[1], image.shape[0])
+        alpha = np.asarray(r.rgba_image)[..., 3] / 255.0
+        assert _iou(alpha, r.predicted_mask) > 0.95
+        assert r.all_masks.shape[0] == 3 and len(r.all_ious) == 3
+        assert np.all((r.all_ious >= 0) & (r.all_ious <= 1))
+        np.testing.assert_array_equal(
+            r.predicted_mask, r.all_masks[int(r.all_ious.argmax())])
+
+
 @pytest.mark.requires_model
 @pytest.mark.skipif(_checkpoint_path() is None,
                     reason="no trained checkpoint available")
