@@ -102,6 +102,56 @@ SOFTMAX_BOUND_HI = 40.0
 SOFTMAX_BOUND_LO = -40.0
 
 
+def _fwd_kernel_stream_static(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, l_scr, acc_scr, *, scale,
+):
+    """Streaming (multi-K-block) forward with the static softmax bound.
+
+    Replacing the online row max with the constant SOFTMAX_BOUND_HI removes,
+    per K block: the (block_q, block_k) max reduce (a cross-lane VPU
+    reduction — the expensive pass), the running-max merge, and the alpha
+    rescales of the fp32 accumulator and denominator. Exactness/NaN-safety
+    window is identical to the single-block kernel (see SOFTMAX_BOUND_*):
+    fully-masked padded query rows floor at l >= N * e^-80, so the final
+    divide never sees zero. Used for sequences too long for one K block
+    (2048px DIS: 16K tokens, 33 K blocks) where the online-softmax VPU work
+    bounds the whole serving step."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if scale != 1.0:  # callers fold the scale into q; fallback only
+        s = s * scale
+    s = s + bias_ref[0]
+
+    p = jnp.exp(
+        jnp.clip(s, SOFTMAX_BOUND_LO, SOFTMAX_BOUND_HI) - SOFTMAX_BOUND_HI
+    )
+    l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (SOFTMAX_BOUND_HI + jnp.log(l)).astype(jnp.float32)
+
+
 def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                        scale, static_bound):
     """Single K-block specialization: no online-update scratch traffic.
@@ -159,13 +209,24 @@ def _flash_forward(
     ).astype(jnp.float32)[None, :]
 
     single = nk == 1
-    kern = (
-        functools.partial(
+    if single:
+        kern = functools.partial(
             _fwd_kernel_single, scale=scale, static_bound=static_bound
         )
-        if single
-        else functools.partial(_fwd_kernel, scale=scale)
-    )
+        scratch = []
+    elif static_bound:
+        kern = functools.partial(_fwd_kernel_stream_static, scale=scale)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    else:
+        kern = functools.partial(_fwd_kernel, scale=scale)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
     out, lse = pl.pallas_call(
         kern,
         grid=(bh, nq, nk),
@@ -183,11 +244,7 @@ def _flash_forward(
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
-        scratch_shapes=[] if single else [
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 ("parallel", "parallel", "arbitrary")
@@ -619,9 +676,11 @@ def flash_attention(
 ) -> jax.Array:
     """Flash attention over (B, N, H, D) tensors; returns (B, N, H, D).
 
-    ``static_softmax_bound``: opt into the constant-shift softmax in the
-    single-K-block kernel (exact while row maxima sit within ±40 — callers
-    must validate their model's logit range; DINOv3 ViTs do).
+    ``static_softmax_bound``: opt into the constant-shift softmax (exact
+    while row maxima sit within ±40 — callers must validate their model's
+    logit range; DINOv3 ViTs do). Applies to both the single-K-block kernel
+    (drops the row-max pass) and the streaming kernel (additionally drops
+    the online max/denominator rescaling — the 2048px DIS path).
 
     ``n_valid``: number of real tokens; rows beyond it are padding whose
     keys are masked out (their query rows compute garbage that the caller

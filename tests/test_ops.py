@@ -369,6 +369,61 @@ def test_flash_static_softmax_bound_exact_and_nan_safe():
         assert np.isfinite(np.asarray(t)).all()
 
 
+def test_flash_static_softmax_bound_streaming_kernel():
+    """The STREAMING (multi-K-block) forward also honors the static bound
+    (_fwd_kernel_stream_static: no online max tracking, no accumulator
+    rescales — the 2048px DIS path, 33 K blocks at 16K tokens). Contract
+    mirrors the single-block test: exact vs XLA inside the logit window,
+    gradients consistent through the emitted lse, finite under adversarial
+    logits, and identical to the online-softmax streaming kernel."""
+    from s3od_tpu.ops.attention import _xla_attention
+    from s3od_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    b, n, h, d = 1, 300, 2, 64  # pads to 384 = 3 k-blocks of 128
+    fa = lambda q, k, v: flash_attention(
+        q, k, v, scale=d**-0.5, block_q=128, block_k=128, interpret=True,
+        static_softmax_bound=True,
+    )
+    fa_online = lambda q, k, v: flash_attention(
+        q, k, v, scale=d**-0.5, block_q=128, block_k=128, interpret=True,
+    )
+
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    ref = _xla_attention(q, k, v, d**-0.5)
+    got = fa(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(fa_online(q, k, v)), atol=2e-5
+    )
+
+    def grads(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v))), argnums=(0, 1, 2)
+        )(q, k, v)
+
+    for got_g, ref_g, name in zip(
+        grads(fa), grads(lambda q, k, v: _xla_attention(q, k, v, d**-0.5)),
+        "qkv",
+    ):
+        rel = float(jnp.abs(got_g - ref_g).max() /
+                    (jnp.abs(ref_g).max() + 1e-9))
+        assert rel < 1e-4, f"d{name} rel err {rel}"
+
+    # Adversarial magnitudes stay finite (incl. the padded query rows whose
+    # keys are all masked: the LO clip floors the denominator).
+    q_hot = jnp.asarray(rng.standard_normal((b, n, h, d)) * 1000, jnp.float32)
+    assert np.isfinite(np.asarray(fa(q_hot, k, v))).all()
+    g_hot = jax.grad(
+        lambda q, k, v: jnp.sum(fa(q, k, v)), argnums=(0, 1, 2)
+    )(q_hot, k, v)
+    for t in g_hot:
+        assert np.isfinite(np.asarray(t)).all()
+
+
 def test_encoder_sequence_padding_is_transparent(monkeypatch):
     """Force the encoder's pad-once path on CPU (fp32 XLA attention with
     n_valid masking) and check taps and gradients match the unpadded run."""
