@@ -1,0 +1,71 @@
+"""Shared scaffold for the receipt scripts in this directory.
+
+Every serving experiment needs the same three pieces: bf16 qkv-packed
+params for a model config, a jitted uint8 -> (sigmoid masks, sigmoid
+ious) serving forward with in-graph ImageNet normalization, and a
+host-readback lambda for the slope-timing protocol (CLAUDE.md: only a
+host readback synchronizes with the axon relay). Keeping them here means
+a change to the serving preprocessing or the readback protocol lands in
+one place instead of N copies.
+"""
+
+from __future__ import annotations
+
+
+def build_serving_state(model: str = "dinov3_base"):
+    """(cfg, bf16 qkv-packed params, state) for a serving benchmark."""
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.models.segmentation import init_segmentation_params
+    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
+    cfg = segmentation_config(model)
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
+    return cfg, params, state
+
+
+def make_serving_forward(cfg, **fw_kwargs):
+    """Jitted serving forward: uint8 NHWC -> (sigmoid masks, sigmoid ious).
+
+    Normalization runs in-graph exactly as the predictor's jitted path
+    does (s3od_tpu/predictor.py). Extra kwargs are forwarded to
+    `segmentation_forward` (e.g. convt_up=..., attn_impl=...).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.models.segmentation import segmentation_forward
+    from s3od_tpu.predictor import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN * 255.0)
+    inv_std = jnp.asarray(1.0 / (IMAGENET_STD * 255.0))
+
+    @jax.jit
+    def forward(params, state, images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) * inv_std
+        out, _ = segmentation_forward(
+            params, state, x.astype(jnp.bfloat16), cfg,
+            training=False, compute_dtype=jnp.bfloat16,
+            serving_fast_output=True, **fw_kwargs,
+        )
+        return (jax.nn.sigmoid(out["pred_masks"]),
+                jax.nn.sigmoid(out["pred_iou"]))
+
+    return forward
+
+
+def masks_ious_readback(stride: int = 64):
+    """slope_time readback over a (masks, ious) result: one scalar that
+    touches both outputs (subsampled masks keep the host transfer tiny)."""
+    import jax.numpy as jnp
+
+    def readback(mi):
+        masks, ious = mi
+        sub = masks[:, ::stride, ::stride]
+        return float(jnp.sum(ious) + jnp.sum(sub.astype(jnp.float32)))
+
+    return readback

@@ -24,34 +24,18 @@ SIZE = 840
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
-    from s3od_tpu.configs import segmentation_config
-    from s3od_tpu.models.segmentation import (
-        init_segmentation_params,
-        segmentation_forward,
+    from _harness import (
+        build_serving_state,
+        make_serving_forward,
+        masks_ious_readback,
     )
-    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
     from s3od_tpu.profiling import slope_time
 
-    cfg = segmentation_config("dinov3_base")
-    params, state = init_segmentation_params(jax.random.key(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
-
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
-    inv_std = 1.0 / (jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0)
-
-    @jax.jit
-    def forward(params, state, images_u8):
-        x = (images_u8.astype(jnp.float32) - mean) * inv_std
-        out, _ = segmentation_forward(
-            params, state, x.astype(jnp.bfloat16), cfg,
-            training=False, compute_dtype=jnp.bfloat16,
-            serving_fast_output=True,
-        )
-        return jax.nn.sigmoid(out["pred_masks"]), jax.nn.sigmoid(out["pred_iou"])
+    cfg, params, state = build_serving_state("dinov3_base")
+    forward = make_serving_forward(cfg)
+    readback = masks_ious_readback(stride=64)
 
     rng = np.random.default_rng(0)
     for batch in (1, 4, 8, 16, 24, 32):
@@ -61,10 +45,7 @@ def main():
         try:
             t = slope_time(
                 lambda: forward(params, state, images),
-                lambda mi: float(jnp.sum(mi[1])
-                                 + jnp.sum(mi[0][:, ::64, ::64, :]
-                                           .astype(jnp.float32))),
-                n_small=2, n_large=10,
+                readback, n_small=2, n_large=10,
             )
         except Exception as e:
             print(f"batch {batch}: FAILED ({type(e).__name__}: {e})")

@@ -10,6 +10,9 @@ packed stages. The pad128 experiment taught us standalone sub-graphs
 don't reproduce the in-context layouts — so this measures the FULL
 serving graph with the gate off vs on, plus a numerics check.
 
+MEASURED (receipt in RESULTS.md "channel-packing negative"): SLOWER in
+context — the pack/unpack relayouts eat the lane saving; gate stays off.
+
 Run on the live TPU: python benchmarks/exp_chanpack.py
 """
 
@@ -19,41 +22,26 @@ import numpy as np
 
 
 def build_forward(cfg, chanpack: bool):
-    import jax
-    import jax.numpy as jnp
-
     import s3od_tpu.models.dpt as dpt_mod
-    from s3od_tpu.models.segmentation import segmentation_forward
+    from _harness import make_serving_forward
 
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
-    inv_std = 1.0 / (jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0)
+    inner = make_serving_forward(cfg)  # fresh jit cache per gate setting
 
     def forward(params, state, images_u8):
-        dpt_mod._CHANPACK_ENABLED = chanpack  # staged at trace time
-        x = (images_u8.astype(jnp.float32) - mean) * inv_std
-        out, _ = segmentation_forward(
-            params, state, x.astype(jnp.bfloat16), cfg,
-            training=False, compute_dtype=jnp.bfloat16,
-            serving_fast_output=True,
-        )
-        return jax.nn.sigmoid(out["pred_masks"]), jax.nn.sigmoid(out["pred_iou"])
+        dpt_mod._CHANPACK_ENABLED = chanpack  # staged at (inner's) trace time
+        return inner(params, state, images_u8)
 
-    return jax.jit(forward)
+    return forward
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
-    from s3od_tpu.configs import segmentation_config
-    from s3od_tpu.models.segmentation import init_segmentation_params
-    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+    from _harness import build_serving_state, masks_ious_readback
     from s3od_tpu.profiling import slope_time
 
-    cfg = segmentation_config("dinov3_base")
-    params, state = init_segmentation_params(jax.random.key(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
+    cfg, params, state = build_serving_state("dinov3_base")
+    readback = masks_ious_readback(stride=64)
 
     rng = np.random.default_rng(0)
     for batch in (8, 16):
@@ -66,10 +54,7 @@ def main():
             try:
                 t = slope_time(
                     lambda: fwd(params, state, images),
-                    lambda mi: float(jnp.sum(mi[1])
-                                     + jnp.sum(mi[0][:, ::64, ::64, :]
-                                               .astype(jnp.float32))),
-                    n_small=2, n_large=10,
+                    readback, n_small=2, n_large=10,
                 )
             except Exception as e:
                 print(f"batch {batch} {label}: FAILED ({type(e).__name__}: {e})")

@@ -243,7 +243,9 @@ def vit_block(
             # ViT-L (C=1024, F=4096): the kernel's VMEM-resident weights
             # alone exceed the 16 MB scope — XLA path (hardware-verified
             # scoped-vmem OOM otherwise).
-            and fits_vmem(cfg.hidden_size, cfg.intermediate_size)
+            and fits_vmem(
+                cfg.hidden_size, cfg.intermediate_size, h.dtype.itemsize
+            )
         ):
             # Fused MLP: up-proj + erf-GELU + down-proj + residual in one
             # Pallas pass — the (N, 4C) hidden never touches HBM

@@ -95,13 +95,18 @@ def _pick_block(n: int, c: int, f: int, block_n: int) -> int:
     return bn
 
 
-def fits_vmem(c: int, f: int) -> bool:
+def fits_vmem(c: int, f: int, elem_bytes: int = 2) -> bool:
     """Whether the kernel can fit the 16 MB scoped-VMEM budget at all: the
     two weight matrices are VMEM-resident for the whole program, so at
     ViT-L dims (C=1024, F=4096 -> 16.8 MB bf16 weights alone) no row block
     fits and the caller must use the XLA path (hardware receipt: scoped
-    vmem OOM at forward.119, benchmarks/RESULTS.md ViT-L note)."""
-    return 2 * c * f * 2 + 8 * (6 * c * 2 + f * 6 + c * 4) <= 15 * 2**20
+    vmem OOM at forward.119, benchmarks/RESULTS.md ViT-L note).
+
+    `elem_bytes` is the compute dtype's width (the kernel casts weights to
+    x.dtype): fp32 ViT-B weights are 18.9 MB and must also be gated out."""
+    weights = 2 * c * f * elem_bytes
+    per_row = 6 * c * elem_bytes + f * 4 + f * elem_bytes + c * 4
+    return weights + 8 * per_row <= 15 * 2**20
 
 
 def _forward(x, wu, bu, wd, bd, res, ls, block_n, interpret):

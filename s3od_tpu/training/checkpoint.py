@@ -92,14 +92,42 @@ class CheckpointManager:
             self._ckptr.wait_until_finished()
         self._commit_pending()
 
-    def save(self, state, *, epoch: int, metrics: Dict[str, float]) -> None:
-        """Save `last` always; keep top-k by the monitored metric.
+    def _qualifies(self, entries: List[Dict], score) -> bool:
+        if score is None:
+            return False
+        sign = 1.0 if self.mode == "max" else -1.0
+        return (
+            len(entries) < self.top_k
+            or sign * score > min(sign * e["score"] for e in entries)
+        )
+
+    def save(
+        self,
+        state,
+        *,
+        epoch: int,
+        metrics: Dict[str, float],
+        save_last: bool = True,
+    ) -> None:
+        """Save `last` (unless `save_last=False`); keep top-k by the
+        monitored metric.
 
         Writes are asynchronous (the ~10s orbax write overlaps the next
         epoch's compute — measured 10s of a 16s epoch on the 224px demo
         run); the index update and the old-'last' deletion are deferred to
         the next save()/wait()/restore(), after the write completes.
+
+        `save_last=False` (the `backend.save_every` policy) skips the
+        per-epoch 'last' write on slow disks; a top-k-qualifying score
+        still writes its `epochNNNN` checkpoint so no best model is ever
+        lost, and resume staleness is bounded by the caller's interval.
         """
+        # Cheap pre-check against the committed (possibly one-save-stale)
+        # index: a false positive just costs one extra write.
+        if not save_last and not self._qualifies(
+            self.index["best"], metrics.get(self.monitor)
+        ):
+            return
         tree = {
             "params": state.params,
             "bn_state": state.bn_state,
@@ -110,35 +138,33 @@ class CheckpointManager:
         self._commit_pending()
 
         index = json.loads(json.dumps(self.index))  # deep copy
-        index["last"] = {"path": "last", "epoch": epoch, "metrics": metrics}
         drop: List[str] = []
 
         host_tree = jax.device_get(tree)
-        tmp = self.dir / "last.tmp"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        self.ckptr.save(tmp.resolve(), host_tree)
+        if save_last:
+            index["last"] = {"path": "last", "epoch": epoch,
+                             "metrics": metrics}
+            tmp = self.dir / "last.tmp"
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            self.ckptr.save(tmp.resolve(), host_tree)
 
         score = metrics.get(self.monitor)
-        if score is not None:
+        entries: List[Dict] = index["best"]
+        if self._qualifies(entries, score):
             name = f"epoch{epoch:04d}"
-            entries: List[Dict] = index["best"]
             sign = 1.0 if self.mode == "max" else -1.0
-            if (
-                len(entries) < self.top_k
-                or sign * score > min(sign * e["score"] for e in entries)
-            ):
-                # serialize with the last-save (orbax allows one in flight);
-                # top-k epochs pay one blocking write, others stay async.
-                self.ckptr.wait_until_finished()
-                best_path = self.dir / name
-                if best_path.exists():
-                    shutil.rmtree(best_path)
-                self.ckptr.save(best_path.resolve(), host_tree)
-                entries.append({"path": name, "score": score, "epoch": epoch})
-                entries.sort(key=lambda e: -sign * e["score"])
-                while len(entries) > self.top_k:
-                    drop.append(entries.pop()["path"])
+            # serialize with the last-save (orbax allows one in flight);
+            # top-k epochs pay one blocking write, others stay async.
+            self.ckptr.wait_until_finished()
+            best_path = self.dir / name
+            if best_path.exists():
+                shutil.rmtree(best_path)
+            self.ckptr.save(best_path.resolve(), host_tree)
+            entries.append({"path": name, "score": score, "epoch": epoch})
+            entries.sort(key=lambda e: -sign * e["score"])
+            while len(entries) > self.top_k:
+                drop.append(entries.pop()["path"])
         self._pending = {"index": index, "drop": drop}
 
     def restore(self, state, which: str = "last"):

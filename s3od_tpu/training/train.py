@@ -459,7 +459,17 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             metrics.get("val_dice", float("nan")),
         )
 
-        ckpt.save(state, epoch=epoch, metrics=metrics)
+        # backend.save_every=N bounds per-epoch checkpoint IO on slow disks:
+        # 'last' is written every N epochs (and on the final epoch); top-k
+        # score improvements always write their epochNNNN checkpoint.
+        save_every = max(1, int(cfg.backend.get("save_every", 1)))
+        ckpt.save(
+            state, epoch=epoch, metrics=metrics,
+            save_last=(
+                (epoch + 1) % save_every == 0
+                or epoch + 1 == int(cfg.backend.max_epochs)
+            ),
+        )
         if early.update(metrics):
             logger.info("early stopping at epoch %d", epoch)
             break

@@ -103,8 +103,8 @@ def remove_padding(masks: np.ndarray, pad_info: Dict[str, Any]) -> np.ndarray:
     off-by-one — paired with a crash upstream — for odd padding)."""
     hp, wp = pad_info["height_pad"], pad_info["width_pad"]
     nh, nw = pad_info["resized_size"]
-    if hp > 0:
-        masks = masks[:, hp : hp + nh, :]
-    if wp > 0:
-        masks = masks[:, :, wp : wp + nw]
-    return masks
+    # Always slice to resized_size: a near-square input can have pad 0 on an
+    # axis whose resized extent is still one pixel short of the canvas, and
+    # skipping the crop there leaves a zero row/column that misaligns the
+    # mask when resized back to the original size.
+    return masks[:, hp : hp + nh, wp : wp + nw]

@@ -49,6 +49,13 @@ def main():
                          "a larger weight speeds up mask selection.")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (mechanics dry-run)")
+    ap.add_argument("--checkpoint-path", default=None,
+                    help="resume from a saved checkpoint (full trainer "
+                         "state incl. epoch; the reference's ckpt_path)")
+    ap.add_argument("--save-every", type=int, default=1,
+                    help="write the 'last' checkpoint every N epochs "
+                         "(top-k best saves are unaffected) — bounds "
+                         "orbax IO on slow disks")
     args = ap.parse_args()
 
     if args.cpu:
@@ -97,7 +104,11 @@ def main():
         "backend.precision=32",
         f"base_dir={exp_dir}",
         "experiment_name=demo",
+        f"backend.save_every={args.save_every}",
     ] + (
+        [f"checkpoint_path={args.checkpoint_path}"]
+        if args.checkpoint_path else []
+    ) + (
         [f"loss.weights.mse_ious_loss={args.iou_mse_weight}"]
         if args.iou_mse_weight is not None else []
     ))

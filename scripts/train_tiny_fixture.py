@@ -98,9 +98,18 @@ def make_batch(rng: np.random.Generator, batch: int, size: int):
             m = np.asarray(
                 Image.fromarray(m).resize((w, h), Image.NEAREST))
             pad = get_pad_info(img, size)
+            nh, nw = pad["resized_size"]
+            if (nh, nw) != (h, w):
+                # Serving scales the longest side to the canvas; match it
+                # so letterboxed samples land exactly where the predictor's
+                # preprocessing would put them.
+                img = np.asarray(
+                    Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+                m = np.asarray(
+                    Image.fromarray(m).resize((nw, nh), Image.NEAREST))
             images[i] = place_on_canvas(img, size, pad)
             hp, wp = pad["height_pad"], pad["width_pad"]
-            masks[i, hp:hp + h, wp:wp + w] = m > 127
+            masks[i, hp:hp + nh, wp:wp + nw] = m > 127
     return images, masks
 
 

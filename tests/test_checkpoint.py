@@ -52,6 +52,37 @@ def test_topk_rotation_and_restore(tmp_path, state):
     assert [e["epoch"] for e in mgr2.index["best"]] == [3, 1]
 
 
+def test_save_last_interval(tmp_path, state):
+    """save_last=False (backend.save_every policy) skips the 'last' write
+    entirely on non-qualifying epochs but still records top-k-qualifying
+    scores, so no best checkpoint is ever lost to the interval."""
+    ts, _ = state
+    mgr = CheckpointManager(str(tmp_path), top_k=1, monitor="val_dice",
+                            mode="max")
+    mgr.save(ts, epoch=0, metrics={"val_dice": 0.5}, save_last=False)
+    mgr.wait()
+    assert not (tmp_path / "last").exists()
+    assert [e["epoch"] for e in mgr.index["best"]] == [0]
+
+    # non-qualifying, no last: a pure skip (no new write at all)
+    mgr.save(ts, epoch=1, metrics={"val_dice": 0.1}, save_last=False)
+    mgr.wait()
+    assert mgr.index["last"] is None
+    assert not (tmp_path / "epoch0001").exists()
+
+    # qualifying score still lands even with save_last=False
+    mgr.save(ts, epoch=2, metrics={"val_dice": 0.9}, save_last=False)
+    mgr.wait()
+    assert [e["epoch"] for e in mgr.index["best"]] == [2]
+    assert (tmp_path / "epoch0002").exists()
+
+    # interval epoch writes 'last'
+    mgr.save(ts, epoch=3, metrics={"val_dice": 0.2}, save_last=True)
+    mgr.wait()
+    assert mgr.index["last"]["epoch"] == 3
+    assert (tmp_path / "last").exists()
+
+
 def test_export_inference(tmp_path, state):
     ts, _ = state
     mgr = CheckpointManager(str(tmp_path))

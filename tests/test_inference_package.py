@@ -255,3 +255,10 @@ def test_research_letterbox_near_square_is_square():
     assert (pi["height_pad"], pi["width_pad"]) == (0, 0)
     placed = place_on_canvas(np.ones((64, 63, 3), np.uint8), 64, pi)
     assert placed.shape == (64, 64, 3) and placed[:, -1].sum() == 0
+    # And unpadding must crop that zero column back out even though the
+    # pad offset is 0 — otherwise the mask resize stretches/attenuates
+    # the right edge (near-square regression).
+    from s3od_tpu.utils import remove_padding
+
+    cropped = remove_padding(np.ones((3, 64, 64), np.float32), pi)
+    assert cropped.shape == (3, 64, 63)

@@ -1060,6 +1060,10 @@ def test_mlp_fused_vmem_gate():
     assert fits_vmem(768, 3072)       # ViT-B
     assert fits_vmem(384, 1536)       # ViT-S
     assert not fits_vmem(1024, 4096)  # ViT-L
+    # fp32 compute doubles the resident weights: ViT-B fp32 is 18.9 MB
+    # and must be gated out too (the kernel casts weights to x.dtype).
+    assert not fits_vmem(768, 3072, elem_bytes=4)
+    assert fits_vmem(384, 1536, elem_bytes=4)  # ViT-S fp32 still fits
 
 
 def test_mask_tail_packed_matches_unpacked():
