@@ -18,11 +18,10 @@ import numpy as np
 def main():
     import jax.numpy as jnp
 
-    from _harness import (
-        build_serving_state,
-        make_serving_forward,
-        masks_ious_readback,
-    )
+    try:
+        from _harness import ( build_serving_state, make_serving_forward, masks_ious_readback, )
+    except ImportError:  # python -m benchmarks.exp_...
+        from benchmarks._harness import ( build_serving_state, make_serving_forward, masks_ious_readback, )
     from s3od_tpu.profiling import slope_time
 
     cfg, params, state = build_serving_state("dinov3_base")

@@ -23,7 +23,10 @@ import numpy as np
 
 def build_forward(cfg, chanpack: bool):
     import s3od_tpu.models.dpt as dpt_mod
-    from _harness import make_serving_forward
+    try:
+        from _harness import make_serving_forward
+    except ImportError:  # python -m benchmarks.exp_...
+        from benchmarks._harness import make_serving_forward
 
     inner = make_serving_forward(cfg)  # fresh jit cache per gate setting
 
@@ -37,7 +40,10 @@ def build_forward(cfg, chanpack: bool):
 def main():
     import jax.numpy as jnp
 
-    from _harness import build_serving_state, masks_ious_readback
+    try:
+        from _harness import build_serving_state, masks_ious_readback
+    except ImportError:  # python -m benchmarks.exp_...
+        from benchmarks._harness import build_serving_state, masks_ious_readback
     from s3od_tpu.profiling import slope_time
 
     cfg, params, state = build_serving_state("dinov3_base")

@@ -15,8 +15,10 @@ from __future__ import annotations
 def vitl_sweep():
     import numpy as np
     import jax, jax.numpy as jnp
-    from _harness import (
-        build_serving_state, make_serving_forward, masks_ious_readback)
+    try:
+        from _harness import ( build_serving_state, make_serving_forward, masks_ious_readback)
+    except ImportError:  # python -m benchmarks.exp_...
+        from benchmarks._harness import ( build_serving_state, make_serving_forward, masks_ious_readback)
     from s3od_tpu.profiling import slope_time
 
     cfg, params, state = build_serving_state("dinov3_large")
