@@ -187,6 +187,29 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
 
 
+def _tall_stream_block_q(n_pad: int, block_q: int, block_k: int) -> int:
+    """Tallest q block for the static-bound streaming kernel.
+
+    The static kernel's per-K-step cost has a per-q-row component (the
+    fp32 accumulator/denominator read-modify-write and the grid-step
+    bookkeeping) that amortizes over taller q tiles: measured monotonic
+    12.56 -> 10.32 ms from 512 to 2112 at the DIS shape (BH=12, N=16896,
+    benchmarks/exp_dis_blocks2.py). Constrained to divisors of n_pad so
+    the caller-visible padded length — and therefore every OTHER kernel
+    in the graph (pad-at-source encoder, qkv projection, attention
+    epilogue) — is unchanged; a non-divisor block (e.g. 1024 on 33x512)
+    repads the sequence and blew the epilogue kernel's scoped-VMEM
+    budget in the full 2048px graph. The fp32 s-matrix is capped at
+    ~4.5 MB so the kernel stays comfortably inside the 16 MB scoped-VMEM
+    budget next to its double-buffered k/v blocks."""
+    cap = 4_500_000 // (4 * block_k)
+    best = block_q
+    for bq in range(block_q + 8, cap + 1, 8):
+        if n_pad % bq == 0:
+            best = bq
+    return best
+
+
 def _flash_forward(
     q, k, v, scale, block_q, block_k, n_valid, *, want_lse=False,
     interpret=False, static_bound=False,
@@ -215,6 +238,8 @@ def _flash_forward(
         )
         scratch = []
     elif static_bound:
+        block_q = _tall_stream_block_q(n_pad, block_q, block_k)
+        nq = n_pad // block_q
         kern = functools.partial(_fwd_kernel_stream_static, scale=scale)
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),
