@@ -1,33 +1,40 @@
 """North-star benchmark: images/sec/chip at 1024x1024 background removal.
 
-Protocol (TPU equivalent of the reference's `test_efficiency.py:24-54`, which
-times 100 synchronized model forwards): steady-state throughput of the full
-jitted inference graph — uint8 NHWC input, on-device normalize -> DINOv3-B
-encoder -> DPT head -> sigmoid masks + IoUs — swept over batch sizes; the
-best images/sec is reported.
+Protocol (TPU equivalent of the reference's `test_efficiency.py:24-54`,
+which times 100 synchronized model forwards): steady-state throughput of
+the full jitted inference graph — uint8 NHWC input, on-device normalize
+-> DINOv3-B encoder -> DPT head -> sigmoid masks + IoUs — at batch 1 and
+the measured batch-16 sweet spot; the best images/sec is reported.
 
 Baseline assumption for `vs_baseline`: the reference stack (PyTorch fp32,
 batch 1, A100) runs this model at ~25 img/s at 1024x1024; the BASELINE.md
-target is >=10x per v5e chip (i.e. >=250 img/s). The reference publishes no
-numbers (BASELINE.md), so 25 img/s is our documented estimate of the A100
-PyTorch throughput for this 86M-param ViT-B + DPT at 1024x1024.
+target is >=10x per v5e chip. The reference publishes no numbers
+(BASELINE.md), so 25 img/s is our documented estimate.
 
-Prints exactly ONE JSON line on stdout.
-
-Auto-tune: hardware verdicts for the round-2 gated kernels are in
-(ops/README.md): mlp_fused is default-ON (validated win), winograd is a
-measured negative and is not re-probed. The auto-tune pass now only
-cross-checks the one live gate — it re-measures S3OD_MLP_FUSED=0 in an
-ISOLATED SUBPROCESS with a numerics probe against the default graph and
-falls back to the unfused MLP if that is somehow faster here; a child
-that crashes, hangs, or diverges just leaves the default in place.
+CAPTURE-PROOF DESIGN (round-2 post-mortem: BENCH_r02.json rc=124, no
+parsed JSON, because a ~20x-degraded relay stretched a sweep + auto-tune
++ e2e run past the driver's budget before the single final JSON line):
+- the relay is probed in a subprocess BEFORE any in-process JAX touch
+  (s3od_tpu/relay.py) — a dead relay exits 0 with a degraded JSON line
+  in ~4 min instead of hanging;
+- a JSON result line is emitted IMMEDIATELY after the first successful
+  batch-1 measurement and re-emitted whenever a later phase improves it
+  (the driver parses the LAST line), so any later hang/kill still leaves
+  a valid capture;
+- a batch-1 step slower than 2x the recorded healthy expectation
+  (22.71 ms, benchmarks/validate_r2_kernels.py 2026-08-18) marks the
+  relay degraded and skips every remaining phase;
+- the gated-kernel auto-tune subprocess pass is GONE: the hardware
+  verdicts are recorded in ops/README.md (mlp_fused default-ON,
+  winograd negative) and are not worth re-probing 600 s per run;
+- a watchdog emits the last-known (or a degraded) JSON line and exits 0
+  after 10 minutes no matter what.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import threading
 import time
@@ -35,67 +42,66 @@ import time
 import numpy as np
 
 A100_PYTORCH_BASELINE_IMG_S = 25.0
+# Healthy batch-1 ms/step on v5e (validate_r2_kernels.py, 2026-08-18).
+HEALTHY_B1_MS = 22.71
+DEGRADED_FACTOR = 2.0
 
-_CHILD_ENV = "S3OD_BENCH_CHILD"
-_CHILD_TIMEOUT_S = 600
-_CHILD_MARK = "CHILD_RESULT "
-# bf16 sigmoid outputs; same tolerance as benchmarks/validate_r2_kernels.py
-_PROBE_TOL = 0.02
+METRIC = "images/sec/chip @1024px bg-removal (bf16)"
+_WATCHDOG_S = 10 * 60
+_PREFLIGHT_TIMEOUT_S = 240.0
 
-# The axon relay can go down; a dead backend HANGS instead of raising
-# (CLAUDE.md), which would hang the whole bench run forever. Budget:
-# baseline sweep ~8 remote compiles x ~90 s + timing + up to two
-# auto-tune children at _CHILD_TIMEOUT_S each.
-_WATCHDOG_S = 45 * 60
+_last_emitted = {"value": 0.0}
+
+
+def _emit(value: float, **extra) -> None:
+    """Print one JSON result line (driver parses the LAST such line)."""
+    obj = {
+        "metric": METRIC,
+        "value": round(value, 2),
+        "unit": "img/s",
+        "vs_baseline": round(value / A100_PYTORCH_BASELINE_IMG_S, 2),
+        **extra,
+    }
+    _last_emitted.update(obj)
+    print(json.dumps(obj), flush=True)
 
 
 def _watchdog():
     time.sleep(_WATCHDOG_S)
     print(
-        f"bench watchdog: no completion after {_WATCHDOG_S}s — TPU relay "
-        "likely down (dead backends hang rather than raise); aborting.",
-        file=sys.stderr,
-        flush=True,
+        f"bench watchdog: still running after {_WATCHDOG_S}s — relay "
+        "likely degraded/hung; emitting last known result and exiting.",
+        file=sys.stderr, flush=True,
     )
-    os._exit(2)
-
-
-def _try_gated_combo(name, flag_env, base_probe):
-    """Measure one gated-kernel combo in a subprocess; return its result
-    dict only if it ran to completion AND matched the baseline numerics."""
-    env = dict(os.environ, **flag_env, **{_CHILD_ENV: "1"})
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-            timeout=_CHILD_TIMEOUT_S,
-        )
-    except subprocess.TimeoutExpired:
-        print(f"auto-tune [{name}]: timed out, keeping baseline",
-              file=sys.stderr)
-        return None
-    line = next(
-        (l for l in proc.stdout.splitlines() if l.startswith(_CHILD_MARK)),
-        None,
-    )
-    if proc.returncode != 0 or line is None:
-        tail = proc.stderr.strip().splitlines()[-2:]
-        print(f"auto-tune [{name}]: child failed (rc={proc.returncode}) "
-              f"{' | '.join(tail)}", file=sys.stderr)
-        return None
-    got = json.loads(line[len(_CHILD_MARK):])
-    diff = float(np.max(np.abs(
-        np.asarray(got["probe"], np.float32) - base_probe
-    )))
-    status = "OK" if diff < _PROBE_TOL else "NUMERICS DIVERGED — rejected"
-    print(f"auto-tune [{name}]: {got['best']:.1f} img/s at batch "
-          f"{got['best_batch']}, probe maxdiff {diff:.4f} {status}",
-          file=sys.stderr)
-    return got if diff < _PROBE_TOL else None
+    obj = dict(_last_emitted)
+    obj.setdefault("metric", METRIC)
+    obj.setdefault("unit", "img/s")
+    obj.setdefault("vs_baseline", 0.0)
+    obj["watchdog_timeout"] = True
+    print(json.dumps(obj), flush=True)
+    os._exit(0)
 
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+
+    # S3OD_BENCH_DEBUG=1: tiny model + canvas so the full flow is testable
+    # on CPU in minutes. Never set by the driver.
+    debug = os.environ.get("S3OD_BENCH_DEBUG") == "1"
+    if not debug:
+        from s3od_tpu.relay import probe_backend
+
+        probe = probe_backend(_PREFLIGHT_TIMEOUT_S)
+        if not probe.ok:
+            print(f"preflight: {probe.detail}", file=sys.stderr)
+            _emit(0.0, degraded_relay=True, preflight=probe.detail)
+            return
+        print(
+            f"preflight: backend={probe.backend} devices={probe.n_devices} "
+            f"probe_op={probe.op_ms:.1f} ms ({probe.elapsed_s:.0f}s total)",
+            file=sys.stderr,
+        )
+
     import jax
     import jax.numpy as jnp
 
@@ -105,9 +111,6 @@ def main():
         segmentation_forward,
     )
 
-    # S3OD_BENCH_DEBUG=1: tiny model + canvas so the parent/child auto-tune
-    # plumbing is testable on CPU in minutes. Never set by the driver.
-    debug = os.environ.get("S3OD_BENCH_DEBUG") == "1"
     if debug:
         # Env vars alone can't switch platforms under the axon sitecustomize
         # (it initializes JAX at interpreter startup) — force CPU in-process.
@@ -121,7 +124,11 @@ def main():
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     from s3od_tpu.ops.qkv_project import pack_encoder_qkv
 
-    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
+    # drop_unpacked: serving carries only the pair-packed qkv weights
+    # (keeping both copies printed 137.4M params for a 116.1M model and
+    # wasted ~42 MB HBM — round-2 verdict).
+    params = pack_encoder_qkv(params, cfg.encoder.num_heads,
+                              drop_unpacked=True)
 
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
     inv_std = 1.0 / (jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0)
@@ -136,7 +143,6 @@ def main():
         )
         return jax.nn.sigmoid(out["pred_masks"]), jax.nn.sigmoid(out["pred_iou"])
 
-    rng = np.random.default_rng(0)
     n_params = sum(
         x.size for x in jax.tree.leaves(params) if hasattr(x, "size")
     )
@@ -159,13 +165,8 @@ def main():
         _ = float(reduce(masks, ious))
         return time.perf_counter() - t0
 
-    child_mode = os.environ.get(_CHILD_ENV) == "1"
-    best = 0.0
-    best_batch = 0
-    probe = None
-    for batch in ((1, 16) if child_mode else (1, 2, 4, 8, 16)):
-        # Per-batch-size rng so parent and child batch-1 inputs (and thus
-        # the numerics probes) are identical.
+    def measure(batch):
+        """Compile + slope-time one batch size; None on failure (OOM...)."""
         brng = np.random.default_rng(batch)
         images = jnp.asarray(
             brng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
@@ -173,65 +174,59 @@ def main():
         try:
             masks, ious = forward(params, state, images)  # compile + warm
             _ = float(reduce(masks, ious))  # sync before timing
-            if batch == 1:
-                probe = np.asarray(
-                    masks[0, :: size // 4, :: size // 4, :], np.float32
-                ).ravel()
         except Exception as e:  # OOM etc.
-            print(f"batch {batch}: failed ({type(e).__name__})", file=sys.stderr)
-            break
+            print(f"batch {batch}: failed ({type(e).__name__})",
+                  file=sys.stderr)
+            return None
         n1, n2 = 2, 12
         t1 = min(run(images, n1) for _ in range(2))
         t2 = min(run(images, n2) for _ in range(2))
         dt = (t2 - t1) / (n2 - n1)
-        img_s = batch / dt
-        print(f"batch {batch}: {dt*1000:.2f} ms/step, {img_s:.1f} img/s",
+        print(f"batch {batch}: {dt*1000:.2f} ms/step, {batch/dt:.1f} img/s",
               file=sys.stderr)
-        if img_s > best:
-            best, best_batch = img_s, batch
+        return dt
 
-    print(
-        f"best: {best:.1f} img/s at batch {best_batch}", file=sys.stderr
-    )
+    # Phase 1: batch 1 — emit the official line the moment it exists.
+    dt1 = measure(1)
+    if dt1 is None:
+        _emit(0.0, degraded_relay=True, note="batch-1 measurement failed")
+        return
+    best, best_batch = 1.0 / dt1, 1
+    _emit(best, batch=1)
 
-    if child_mode:
-        # Report to the parent and stop: no e2e phase, no final JSON line.
-        if probe is None:  # batch-1 failed -> nothing to validate against
-            print("child: batch-1 measurement failed, no probe",
-                  file=sys.stderr)
-            sys.exit(1)
-        print(_CHILD_MARK + json.dumps({
-            "best": best,
-            "best_batch": best_batch,
-            "probe": [round(float(v), 5) for v in probe],
-        }))
+    if not debug and dt1 * 1000.0 > HEALTHY_B1_MS * DEGRADED_FACTOR:
+        print(
+            f"degraded relay: batch-1 {dt1*1000:.1f} ms/step vs healthy "
+            f"{HEALTHY_B1_MS} ms — skipping remaining phases",
+            file=sys.stderr,
+        )
+        _emit(best, batch=1, degraded_relay=True)
         return
 
-    flags_note = "default (mlp_fused on)"
-    combos = () if probe is None else (
-        ("mlp_unfused", {"S3OD_MLP_FUSED": "0"}),
-    )  # no batch-1 probe -> nothing to validate children against
-    for name, flag_env in combos:
-        got = _try_gated_combo(name, flag_env, probe)
-        if got is not None and got["best"] > best:
-            best, best_batch = got["best"], got["best_batch"]
-            flags_note = name
-            print(f"auto-tune adopted: {flags_note} "
-                  f"({best:.1f} img/s at batch {best_batch})",
-                  file=sys.stderr)
+    # Phase 2: the measured throughput sweet spot (batch 16; batch 8 as a
+    # fallback data point — full 1-16 sweeps live in benchmarks/).
+    for batch in (16, 8):
+        dt = measure(batch)
+        if dt is not None and batch / dt > best:
+            best, best_batch = batch / dt, batch
+            _emit(best, batch=batch)
+        if best_batch == 16:
+            break  # no need for the fallback point
 
-    # Product-path throughput (stderr, informational): the full
-    # remove_background pipeline — cv2 letterbox, device forward, unpad +
-    # antialiased host resize, RGBA — via the pipelined stream API, on mixed
-    # real-world image sizes. The reference never measures this span.
+    print(f"best: {best:.1f} img/s at batch {best_batch}", file=sys.stderr)
+
     if debug:
-        print("debug mode: skipping e2e phase", file=sys.stderr)
-        print(json.dumps({"metric": "debug", "value": round(best, 2),
-                          "unit": "img/s", "vs_baseline": 0.0}))
+        print("debug mode: done", file=sys.stderr)
         return
+
+    # Phase 3 (informational, stderr only): full product-path throughput —
+    # cv2 letterbox, device forward, unpad + antialiased host resize, RGBA —
+    # via the pipelined stream API on mixed real-world image sizes. The
+    # reference never measures this span.
     try:
         from s3od_tpu.predictor import BackgroundRemoval
 
+        rng = np.random.default_rng(0)
         pred = BackgroundRemoval.from_params(
             params, state, cfg, dtype="bfloat16"
         )
@@ -253,16 +248,7 @@ def main():
         print(f"e2e measurement skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "images/sec/chip @1024px bg-removal (bf16)",
-                "value": round(best, 2),
-                "unit": "img/s",
-                "vs_baseline": round(best / A100_PYTORCH_BASELINE_IMG_S, 2),
-            }
-        )
-    )
+    _emit(best, batch=best_batch)
 
 
 if __name__ == "__main__":

@@ -11,9 +11,25 @@ one place instead of N copies.
 
 from __future__ import annotations
 
+_preflight_done = False
+
+
+def preflight(timeout_s: float = 180.0):
+    """Subprocess relay probe (s3od_tpu/relay.py) before the first
+    in-process JAX touch: a dead relay makes the script exit 2 with a
+    message instead of hanging forever. Cached per process."""
+    global _preflight_done
+    if _preflight_done:
+        return
+    from s3od_tpu.relay import require_backend
+
+    require_backend(timeout_s, want="")
+    _preflight_done = True
+
 
 def build_serving_state(model: str = "dinov3_base"):
     """(cfg, bf16 qkv-packed params, state) for a serving benchmark."""
+    preflight()
     import jax
     import jax.numpy as jnp
 

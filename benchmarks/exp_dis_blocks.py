@@ -43,9 +43,13 @@ def main():
         if bq * bk * 4 > 8 * 1024 * 1024:
             print(f"[{bq:4d}/{bk:4d}] skipped (s-matrix > 8MB VMEM)")
             continue
+        # tall_override=False: sweep the EXPLICIT (bq, bk) combo — the
+        # kernel otherwise remaps every static-bound combo to the tallest
+        # n_pad divisor (_tall_stream_block_q, added after the original
+        # sweep), which would collapse all rows to one configuration.
         fn = jax.jit(
             lambda q, k, v, bq=bq, bk=bk: _flash_attention_bhnd(
-                q, k, v, 1.0, bq, bk, n, False, True
+                q, k, v, 1.0, bq, bk, n, False, True, False
             )
         )
         try:

@@ -32,9 +32,11 @@ def main():
         if bq * bk * 4 > 8 * 1024 * 1024:
             print(f"[{bq:4d}/{bk:4d}] skipped (s-matrix > 8MB)")
             continue
+        # tall_override=False: honor the swept block_q (the kernel's
+        # auto-path would remap every combo to the tallest divisor).
         fn = jax.jit(
             lambda q, k, v, bq=bq, bk=bk: fa._flash_attention_bhnd(
-                q, k, v, 1.0, bq, bk, n, False, True
+                q, k, v, 1.0, bq, bk, n, False, True, False
             )
         )
         try:
@@ -52,11 +54,18 @@ def main():
                   f"{str(e)[:120]}")
 
     # ---- in-context: full 2048px serving forward, default vs best ----
-    from benchmarks._harness import (
-        build_serving_state,
-        make_serving_forward,
-        masks_ious_readback,
-    )
+    try:
+        from _harness import (
+            build_serving_state,
+            make_serving_forward,
+            masks_ious_readback,
+        )
+    except ImportError:
+        from benchmarks._harness import (
+            build_serving_state,
+            make_serving_forward,
+            masks_ious_readback,
+        )
 
     cfg, params, state = build_serving_state()
     images = jnp.asarray(

@@ -80,11 +80,15 @@ def process_dataset(
     batch: int = 4,
     progress: bool = True,
 ) -> Dict:
+    import time
+
     from s3od_tpu.evaluation.metrics import MetricAccumulator
 
     images = sorted(glob(f"{data_dir}/images/*"))
     acc = MetricAccumulator()
     best_acc = MetricAccumulator() if compute_best_metrics else None
+    predict_s = 0.0
+    n_predicted = 0
 
     it = range(0, len(images), batch)
     if progress:
@@ -99,7 +103,11 @@ def process_dataset(
         chunk = images[b0 : b0 + batch]
         loaded = [( p, _load_image(p)) for p in chunk]
         loaded = [(p, im) for p, im in loaded if im is not None]
+        t0 = time.perf_counter()
         results = predictor.predict_batch([im for _, im in loaded])
+        if b0 > 0:  # first batch pays the jit compile — not steady-state
+            predict_s += time.perf_counter() - t0
+            n_predicted += len(loaded)
         for (img_path, _), result in zip(loaded, results):
             gt_path = find_gt_mask_path(img_path)
             if gt_path is None:
@@ -125,12 +133,20 @@ def process_dataset(
                 else:
                     best_acc.step(result.soft_mask, gt)
 
+    # Prediction throughput (predict_batch wall time: letterbox + device
+    # forward + unpad/antialiased resize; excludes GT loading/metric
+    # math) — the reference reports FPS only via its separate
+    # test_efficiency harness; here every eval run records it.
+    perf = {
+        "img_per_s": round(n_predicted / predict_s, 2) if predict_s else 0.0
+    }
     if compute_best_metrics:
         return {
             "pred_metrics": acc.compute(),
             "best_metrics": best_acc.compute(),
+            **perf,
         }
-    return acc.compute()
+    return {**acc.compute(), **perf}
 
 
 def evaluate_datasets(
@@ -140,12 +156,18 @@ def evaluate_datasets(
     input_dir: str,
     datasets: List[str],
     image_size: int = 840,
-    batch: int = 4,
+    batch: Optional[int] = None,
     compute_best_metrics: bool = False,
 ) -> Dict[str, Dict[str, float]]:
-    """Programmatic API (used by the training eval callback)."""
+    """Programmatic API (used by the training eval callback).
+
+    ``batch=None`` picks the measured default per canvas: 4 up to
+    1024px; 1 at >=2048px, where batching is throughput-flat on v5e and
+    batch 4 quadruples the working set (benchmarks/exp_2048_batch.py)."""
     from s3od_tpu.evaluation.predictor import SODPredictor
 
+    if batch is None:
+        batch = 1 if image_size >= 2048 else 4
     if model_params is not None:
         params, state, cfg = model_params
         predictor = SODPredictor.from_params(params, state, cfg,
@@ -168,10 +190,16 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input_dir", required=True)
     ap.add_argument("--model_path", required=True)
-    ap.add_argument("--img_size", type=int, default=840)
+    ap.add_argument("--img_size", "--image_size", type=int, default=840,
+                    dest="img_size",
+                    help="square inference canvas; 2048 engages the "
+                         "streaming static-bound flash kernel (DIS5K "
+                         "high-res path)")
     ap.add_argument("--datasets", default="all")
     ap.add_argument("--compute_best_metrics", action="store_true")
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 4 (<=1024px), 1 (>=2048px — batching "
+                         "is throughput-flat there, exp_2048_batch.py)")
     ap.add_argument("--output_json", default=None)
     args = ap.parse_args()
 

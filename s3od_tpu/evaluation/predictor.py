@@ -75,7 +75,7 @@ class SODPredictor:
             from s3od_tpu.ops.qkv_project import pack_encoder_qkv
 
             self.params = pack_encoder_qkv(
-                self.params, self.cfg.encoder.num_heads
+                self.params, self.cfg.encoder.num_heads, drop_unpacked=True
             )
         self._jit = None
 

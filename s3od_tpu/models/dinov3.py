@@ -178,9 +178,18 @@ def _attention(
     b, n, _ = x.shape
     h, d = cfg.num_heads, cfg.head_dim
 
-    if "qkv" in p:
+    if "qkv" in p or "qkv_packed" in p:
         # Fused projection: one (C, 3C) matmul instead of three (C, C).
-        qkv = _linear(x, p["qkv"]).reshape(b, n, 3, h, d)
+        # Packed-only trees (serving with drop_unpacked) rebuild the fused
+        # kernel from the pair layout — exact, and only reached when the
+        # Pallas projection kernel can't run at this shape.
+        if "qkv" in p:
+            qkv_p = p["qkv"]
+        else:
+            from s3od_tpu.ops.qkv_project import unpack_qkv_params
+
+            qkv_p = unpack_qkv_params(p["qkv_packed"])
+        qkv = _linear(x, qkv_p).reshape(b, n, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     else:
         q = _linear(x, p["q_proj"]).reshape(b, n, h, d)
@@ -218,7 +227,9 @@ def vit_block(
     attn_impl = resolve_attn_impl(x.shape[1], x.dtype, attn_impl)
     h = _layer_norm(x, p["norm1"], eps)
     out_bhnd = None
-    if attn_impl == "flash" and "qkv" in p["attention"]:
+    if attn_impl == "flash" and (
+        "qkv" in p["attention"] or "qkv_packed" in p["attention"]
+    ):
         out_bhnd = _attention_flash_core(
             p["attention"], h, cos, sin, cfg, n_valid
         )

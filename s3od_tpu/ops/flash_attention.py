@@ -212,7 +212,7 @@ def _tall_stream_block_q(n_pad: int, block_q: int, block_k: int) -> int:
 
 def _flash_forward(
     q, k, v, scale, block_q, block_k, n_valid, *, want_lse=False,
-    interpret=False, static_bound=False,
+    interpret=False, static_bound=False, tall_override=True,
 ):
     """q, k, v: (BH, N, D) -> (out, lse) with lse (BH, N, 1) fp32.
 
@@ -238,7 +238,10 @@ def _flash_forward(
         )
         scratch = []
     elif static_bound:
-        block_q = _tall_stream_block_q(n_pad, block_q, block_k)
+        if tall_override:
+            # Auto-picked blocks only: callers sweeping explicit block_q
+            # (benchmarks) pass tall_override=False to bypass this.
+            block_q = _tall_stream_block_q(n_pad, block_q, block_k)
         nq = n_pad // block_q
         kern = functools.partial(_fwd_kernel_stream_static, scale=scale)
         scratch = [
@@ -637,20 +640,21 @@ def _bwd_blocks(n: int):
     return blk, blk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_attention_bhnd(q, k, v, scale, block_q, block_k, n_valid, interpret,
-                          static_bound=False):
+                          static_bound=False, tall_override=True):
     return _flash_forward(
         q, k, v, scale, block_q, block_k, n_valid, interpret=interpret,
-        static_bound=static_bound,
+        static_bound=static_bound, tall_override=tall_override,
     )
 
 
 def _fwd_rule(q, k, v, scale, block_q, block_k, n_valid, interpret,
-              static_bound=False):
+              static_bound=False, tall_override=True):
     out, lse = _flash_forward(
         q, k, v, scale, block_q, block_k, n_valid, want_lse=True,
         interpret=interpret, static_bound=static_bound,
+        tall_override=tall_override,
     )
     # Name the kernel outputs so a remat policy can SAVE them: under
     # jax.checkpoint the backward otherwise re-runs this forward kernel just
@@ -664,7 +668,7 @@ def _fwd_rule(q, k, v, scale, block_q, block_k, n_valid, interpret,
 
 
 def _bwd_rule(scale, block_q, block_k, n_valid, interpret, static_bound,
-              res, g):
+              tall_override, res, g):
     q, k, v, out, lse = res
     bq, bk = _bwd_blocks(q.shape[1])
     dq, dk, dv = _flash_backward(
@@ -722,7 +726,11 @@ def flash_attention(
     the ~3ms of copies they remove. See benchmarks/RESULTS.md.
     """
     b, n, h, d = q.shape
-    if block_q == 0 or block_k == 0:
+    # On the static-bound streaming path, auto-picked blocks are grown to
+    # the tallest VMEM-fitting divisor (_tall_stream_block_q — the 2048px
+    # win). An EXPLICIT block_q is honored as passed (tall_override off).
+    auto_blocks = block_q == 0 or block_k == 0
+    if auto_blocks:
         block_q, block_k = _pick_blocks(n, d)
     if n_valid == 0:
         n_valid = n
@@ -739,6 +747,6 @@ def flash_attention(
 
     out = _flash_attention_bhnd(
         to_bhnd(q), to_bhnd(k), to_bhnd(v), 1.0, block_q, block_k,
-        n_valid, interpret, static_softmax_bound,
+        n_valid, interpret, static_softmax_bound, auto_blocks,
     )
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

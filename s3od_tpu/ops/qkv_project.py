@@ -209,14 +209,39 @@ def pack_qkv_params(qkv: dict, num_heads: int) -> dict:
     return {"wq": wq, "wk": wk, "wv": wv, "bq": bq, "bk": bk, "bv": bv}
 
 
-def pack_encoder_qkv(params: dict, num_heads: int) -> dict:
+def unpack_qkv_params(packed: dict) -> dict:
+    """Inverse of ``pack_qkv_params``: rebuild the fused (C, 3C) qkv
+    kernel/bias from the pair-packed layout (pure transposes, exact).
+    Used by the XLA attention fallback when a serving tree carries only
+    the packed weights (see ``pack_encoder_qkv(drop_unpacked=True)``)."""
+    wq = packed["wq"]  # (H2, C, 2D)
+    h2, c, d2 = wq.shape
+    # (3, H2, C, 2D) -> (C, 3, H2, 2D) -> (C, 3C)
+    w = jnp.stack([wq, packed["wk"], packed["wv"]], axis=0)
+    kernel = w.transpose(2, 0, 1, 3).reshape(c, 3 * h2 * d2)
+    b = jnp.stack([packed["bq"], packed["bk"], packed["bv"]], axis=0)
+    bias = b.reshape(3 * h2 * d2)
+    return {"kernel": kernel, "bias": bias}
+
+
+def pack_encoder_qkv(
+    params: dict, num_heads: int, drop_unpacked: bool = False
+) -> dict:
     """Add ``qkv_packed`` to every encoder block's attention params (in
     place; returns ``params``). Call once at model-load time on serving
-    paths — see ``pack_qkv_params``."""
+    paths — see ``pack_qkv_params``.
+
+    ``drop_unpacked=True`` removes the original fused ``qkv`` weights
+    after packing (serving paths: keeping both copies wasted ~42 MB HBM
+    and inflated the param count 116.1M -> 137.4M). The XLA attention
+    fallback reconstructs them on the fly via ``unpack_qkv_params`` when
+    the Pallas kernel can't run at a given shape."""
     for blk in params.get("encoder", {}).get("blocks", []):
         attn = blk.get("attention", {})
         if "qkv" in attn and "qkv_packed" not in attn:
             attn["qkv_packed"] = pack_qkv_params(attn["qkv"], num_heads)
+        if drop_unpacked and "qkv_packed" in attn:
+            attn.pop("qkv", None)
     return params
 
 

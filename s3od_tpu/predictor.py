@@ -39,6 +39,61 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
+def prepare_serving_params(
+    params, state, cfg, compute_dtype, fold_bn: bool = True
+):
+    """One-time load-time transforms of a checkpoint tree into the serving
+    tree the compiled graphs consume: exact BN folding into the preceding
+    convs, storage in the compute dtype (halves weight HBM traffic), and
+    qkv pre-packing for the fused projection kernel with the unpacked copy
+    dropped (keeping both wasted ~42 MB HBM and inflated the param count).
+    Also the tree that AOT serving bundles persist (s3od_tpu/aot.py)."""
+    if fold_bn:
+        from s3od_tpu.models.dpt import fold_bn_inference
+
+        params, state, cfg = fold_bn_inference(params, state, cfg)
+    if compute_dtype == jnp.bfloat16:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
+        )
+        from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
+        params = pack_encoder_qkv(
+            params, cfg.encoder.num_heads, drop_unpacked=True
+        )
+    return params, state, cfg
+
+
+def build_serving_forward(cfg, compute_dtype, convt_up=None):
+    """The jitted product serving graph: uint8 NHWC canvas -> (sigmoid
+    masks NHWC in the compute dtype, sigmoid ious). The whole normalize ->
+    encoder -> DPT head -> sigmoid span is ONE XLA program (reference call
+    stack §3.1). Shared by the predictor, the AOT exporter and bench."""
+    mean = jnp.asarray(IMAGENET_MEAN * 255.0)
+    inv_std = jnp.asarray(1.0 / (IMAGENET_STD * 255.0))
+    dtype = compute_dtype
+
+    @jax.jit
+    def run(params, state, images_u8):
+        x = (images_u8.astype(jnp.float32) - mean) * inv_std
+        out, _ = segmentation_forward(
+            params, state, x.astype(dtype), cfg,
+            training=False, compute_dtype=dtype,
+            serving_fast_output=True, convt_up=convt_up,
+        )
+        # Masks stay NHWC in the compute dtype (the fp32-NCHW
+        # materialization costs ~0.8 ms/img; host transposes a view
+        # for free and the fp32 upcast rides the readback).
+        masks = jax.nn.sigmoid(out["pred_masks"])  # (B, S, S, n)
+        ious = jax.nn.sigmoid(out["pred_iou"])
+        return masks, ious
+
+    return run
+
+
 @dataclass
 class RemovalResult:
     predicted_mask: np.ndarray
@@ -73,6 +128,7 @@ class BackgroundRemoval:
         dtype: Optional[str] = None,
         data_parallel: bool = False,
         fold_bn: bool = True,
+        compile_cache: bool = True,
         _params_state_cfg: Optional[tuple] = None,
     ):
         self.image_size = image_size
@@ -95,34 +151,24 @@ class BackgroundRemoval:
         else:
             model_id = model_id or self.DEFAULT_MODEL_ID
             self.params, self.state, self.cfg = self._load_model(model_id)
-        if fold_bn:
-            # Eval-mode BN is affine per channel: fold it into the preceding
-            # convs (exact) so the serving graph carries no BN ops at all.
-            from s3od_tpu.models.dpt import fold_bn_inference
-
-            self.params, self.state, self.cfg = fold_bn_inference(
-                self.params, self.state, self.cfg
-            )
-        if self.compute_dtype == jnp.bfloat16:
-            # Store weights in the compute dtype: halves weight HBM traffic
-            # per step and removes the in-graph converts.
-            self.params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                self.params,
-            )
-            # Pre-pack qkv weights for the fused projection kernel so the
-            # per-layer repack transposes never enter the serving graph.
-            from s3od_tpu.ops.qkv_project import pack_encoder_qkv
-
-            self.params = pack_encoder_qkv(
-                self.params, self.cfg.encoder.num_heads
-            )
+        self.params, self.state, self.cfg = prepare_serving_params(
+            self.params, self.state, self.cfg, self.compute_dtype,
+            fold_bn=fold_bn,
+        )
 
         self.mean = IMAGENET_MEAN
         self.std = IMAGENET_STD
         self._jit_cache: Dict[Any, Any] = {}
+        # batch -> deserialized jax.export Exported for the AOT fast path
+        # (populated by from_serving_bundle).
+        self._aot: Dict[int, Any] = {}
+        self._aot_canvas: Optional[int] = None
+        if compile_cache and jax.default_backend() == "tpu":
+            # Persistent XLA compilation cache: fresh processes skip the
+            # 20-90 s per-program remote compiles on warm entries.
+            from s3od_tpu.aot import enable_compilation_cache
+
+            enable_compilation_cache()
 
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs) -> "BackgroundRemoval":
@@ -139,6 +185,31 @@ class BackgroundRemoval:
         """Construct directly from a converted/initialized param pytree
         (enables checkpoint-free tests; a capability gap in the reference)."""
         return cls(_params_state_cfg=(params, state, cfg), **kwargs)
+
+    @classmethod
+    def from_serving_bundle(cls, path, **kwargs) -> "BackgroundRemoval":
+        """Load an AOT serving bundle (s3od_tpu/aot.py) — the TPU-native
+        analog of the reference's TorchScript export
+        (`scripts/export_model.py:122-172`): pre-lowered serving graphs +
+        the prepared weight tree, so a fresh process serves without
+        re-tracing (and, with the persistent compilation cache warm,
+        without recompiling)."""
+        from s3od_tpu.aot import load_serving_bundle
+
+        bundle = load_serving_bundle(path)
+        kwargs.setdefault("dtype", bundle.meta["dtype"])
+        kwargs.setdefault("image_size", bundle.meta["image_size"])
+        # The bundle tree is already prepared (BN folded, cast, qkv
+        # packed) — prepare_serving_params is a no-op second time except
+        # fold_bn, which must be skipped.
+        kwargs["fold_bn"] = False
+        pred = cls(
+            _params_state_cfg=(bundle.params, bundle.state, bundle.cfg),
+            **kwargs,
+        )
+        pred._aot = dict(bundle.exported)
+        pred._aot_canvas = bundle.meta["image_size"]
+        return pred
 
     def _load_model(self, model_id: str):
         from s3od_tpu.convert import load_torch_checkpoint
@@ -184,25 +255,18 @@ class BackgroundRemoval:
     def _forward_fn(self, canvas: int, convt_up: Optional[bool] = None):
         key = (canvas, self.compute_dtype, convt_up)
         if key not in self._jit_cache:
-            cfg = self.cfg
-            dtype = self.compute_dtype
-            mean = jnp.asarray(self.mean * 255.0)
-            inv_std = jnp.asarray(1.0 / (self.std * 255.0))
+            run = build_serving_forward(self.cfg, self.compute_dtype, convt_up)
+            if self._aot and convt_up is None and canvas == self._aot_canvas:
+                jit_run, aot = run, self._aot
 
-            @jax.jit
-            def run(params, state, images_u8):
-                x = (images_u8.astype(jnp.float32) - mean) * inv_std
-                out, _ = segmentation_forward(
-                    params, state, x.astype(dtype), cfg,
-                    training=False, compute_dtype=dtype,
-                    serving_fast_output=True, convt_up=convt_up,
-                )
-                # Masks stay NHWC in the compute dtype (the fp32-NCHW
-                # materialization costs ~0.8 ms/img; host transposes a view
-                # for free and the fp32 upcast rides the readback).
-                masks = jax.nn.sigmoid(out["pred_masks"])  # (B, S, S, n)
-                ious = jax.nn.sigmoid(out["pred_iou"])
-                return masks, ious
+                def run(params, state, images_u8):
+                    # AOT fast path: a pre-exported graph for this batch
+                    # size skips tracing entirely (cold-start); unknown
+                    # batches fall back to jit.
+                    exp = aot.get(int(images_u8.shape[0]))
+                    if exp is not None:
+                        return exp.call(params, state, images_u8)
+                    return jit_run(params, state, images_u8)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]

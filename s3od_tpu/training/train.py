@@ -486,7 +486,12 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
                 model_params=(state.params, state.bn_state, mcfg),
                 input_dir=str(cfg.evaluation.input_dir),
                 datasets=list(cfg.dataset.test_datasets),
-                image_size=int(cfg.evaluation.get("image_size", 1024)),
+                # evaluation.image_size wins; else the dataset's eval
+                # canvas (dis2048.yaml sets 2048); else 1024.
+                image_size=int(
+                    cfg.evaluation.get("image_size")
+                    or cfg.dataset.get("eval_image_size", 1024)
+                ),
             )
             for ds_name, ms in results.items():
                 for k, v in ms.items():

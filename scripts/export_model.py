@@ -99,6 +99,14 @@ def main():
     ap.add_argument("--output", required=True, help="native .npz output")
     ap.add_argument("--torch-output", default=None,
                     help="optional reference-format .pt output")
+    ap.add_argument("--aot-output", default=None,
+                    help="optional AOT serving-bundle directory "
+                         "(jax.export StableHLO graphs + prepared weights "
+                         "— the TorchScript-export analog, s3od_tpu/aot.py)")
+    ap.add_argument("--aot-image-size", type=int, default=1024)
+    ap.add_argument("--aot-batches", type=int, nargs="+", default=[1, 16])
+    ap.add_argument("--aot-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     ap.add_argument("--verify", action="store_true")
     args = ap.parse_args()
 
@@ -114,6 +122,24 @@ def main():
         print(f"wrote {args.torch_output}")
         if args.verify:
             verify_torch_export(params, state, cfg, args.torch_output)
+    if args.aot_output:
+        from s3od_tpu.aot import (
+            load_serving_bundle,
+            save_serving_bundle,
+            verify_bundle,
+        )
+
+        out = save_serving_bundle(
+            args.aot_output, params, state, cfg,
+            image_size=args.aot_image_size,
+            batches=tuple(args.aot_batches),
+            dtype=args.aot_dtype,
+        )
+        print(f"wrote AOT bundle {out} "
+              f"(batches {args.aot_batches} @ {args.aot_image_size}px)")
+        if args.verify:
+            worst = verify_bundle(load_serving_bundle(out))
+            print(f"AOT bundle verification max-abs-diff: {worst:.2e}")
 
 
 if __name__ == "__main__":

@@ -92,6 +92,18 @@ def check(name, results, idxs, ref_masks, ref_ious):
 
 
 def main():
+    # Fail fast (exit 2, ~3 min worst case) instead of hanging forever when
+    # the axon relay is down — a dead backend hangs rather than raises.
+    sys.path.insert(0, str(REPO))
+    from s3od_tpu.relay import probe_backend
+
+    res = probe_backend(timeout_s=300.0)
+    if not res.ok:
+        print(f"backend preflight FAILED: {res.detail}", file=sys.stderr)
+        raise SystemExit(2)
+    print(f"backend: {res.backend} ({res.n_devices} device(s), "
+          f"probe op {res.op_ms:.1f} ms)")
+
     workdir = Path(tempfile.mkdtemp(prefix="s3od_verify_"))
     ckpt, imgs, ref_masks, ref_ious = build_oracle(workdir)
     print(f"oracle ready ({ckpt})")

@@ -1,0 +1,99 @@
+"""AOT serving bundles (s3od_tpu/aot.py) — the TorchScript-export analog.
+
+Mirrors the reference's TorchScript contract (`scripts/export_model.py:122-172`:
+export + numerical verification loop): the exported StableHLO serving
+graphs must round-trip through disk and match the jitted graph, and the
+bundle-loaded predictor must match the plain one end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s3od_tpu.aot import (
+    enable_compilation_cache,
+    load_serving_bundle,
+    save_serving_bundle,
+    verify_bundle,
+)
+from s3od_tpu.configs import tiny_test_config
+from s3od_tpu.models.segmentation import init_segmentation_params
+
+
+@pytest.fixture(scope="module")
+def tiny_tree():
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    return params, state, cfg
+
+
+def test_bundle_roundtrip_and_verify(tmp_path, tiny_tree):
+    params, state, cfg = tiny_tree
+    out = save_serving_bundle(
+        tmp_path / "bundle", params, state, cfg,
+        image_size=128, batches=(1, 2), dtype="float32",
+    )
+    assert (out / "meta.json").exists()
+    assert (out / "weights.npz").exists()
+    assert (out / "serving_b1.jaxexport").exists()
+    assert (out / "serving_b2.jaxexport").exists()
+
+    bundle = load_serving_bundle(out)
+    assert bundle.meta["image_size"] == 128
+    assert not bundle.cfg.use_bn  # BN was folded at save time
+    assert sorted(bundle.exported) == [1, 2]
+    worst = verify_bundle(bundle, n=2)
+    assert worst < 1e-5
+
+
+def test_bundle_predictor_matches_plain(tmp_path, tiny_tree):
+    from s3od_tpu.predictor import BackgroundRemoval
+
+    params, state, cfg = tiny_tree
+    out = save_serving_bundle(
+        tmp_path / "bundle", params, state, cfg,
+        image_size=128, batches=(1,), dtype="float32",
+    )
+
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+
+    plain = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+    aot = BackgroundRemoval.from_serving_bundle(out, dtype="float32")
+    assert aot.image_size == 128
+    assert aot._aot_canvas == 128
+
+    res_plain = plain.remove_background(image)
+    res_aot = aot.remove_background(image)
+    np.testing.assert_allclose(
+        res_aot.predicted_mask, res_plain.predicted_mask, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        res_aot.all_ious, res_plain.all_ious, atol=1e-6
+    )
+    # Unknown batch sizes fall back to the jitted graph transparently.
+    batch = aot.remove_background_batch([image, image, image], chunk=4)
+    assert len(batch) == 3
+
+
+def test_enable_compilation_cache_idempotent(tmp_path):
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        d = enable_compilation_cache(str(tmp_path / "cache"))
+        assert jax.config.jax_compilation_cache_dir == d
+        # second call: existing configuration wins
+        d2 = enable_compilation_cache(str(tmp_path / "other"))
+        assert d2 == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_bundle_rejects_non_bundle_dir(tmp_path):
+    (tmp_path / "meta.json").write_text('{"format": "something-else"}')
+    with pytest.raises(ValueError, match="not a serving bundle"):
+        load_serving_bundle(tmp_path)

@@ -73,7 +73,7 @@ def test_oracle_best_metrics(dataset_dir, predictor):
         str(dataset_dir / "TINY-TE"), predictor,
         compute_best_metrics=True, batch=3, progress=False,
     )
-    assert set(out) == {"pred_metrics", "best_metrics"}
+    assert set(out) == {"pred_metrics", "best_metrics", "img_per_s"}
     # oracle selection can only improve (or match) MaxF on binary masks is
     # not guaranteed, but both must be valid metric dicts
     assert 0.0 <= out["best_metrics"]["Sm"] <= 1.0

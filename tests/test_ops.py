@@ -1095,3 +1095,147 @@ def test_mask_tail_packed_matches_unpacked():
     got = dpt_mod._mask_tail_packed(feat, mh, k_fused, b_fused, k1, b1)
     assert got.shape == (B, 2 * h2, 2 * w2, n_out)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_qkv_pack_unpack_roundtrip():
+    """unpack_qkv_params is the exact inverse of pack_qkv_params (the XLA
+    attention fallback rebuilds the fused kernel from serving trees that
+    dropped the unpacked copy — pack_encoder_qkv(drop_unpacked=True))."""
+    from s3od_tpu.ops.qkv_project import pack_qkv_params, unpack_qkv_params
+
+    rng = np.random.default_rng(3)
+    c, h = 48, 4
+    kernel = jnp.asarray(rng.standard_normal((c, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((3 * c,)), jnp.float32)
+    packed = pack_qkv_params({"kernel": kernel, "bias": bias}, h)
+    back = unpack_qkv_params(packed)
+    np.testing.assert_array_equal(np.asarray(back["kernel"]), np.asarray(kernel))
+    np.testing.assert_array_equal(np.asarray(back["bias"]), np.asarray(bias))
+
+
+def test_encoder_packed_only_params_match(monkeypatch):
+    """A serving tree carrying ONLY qkv_packed (drop_unpacked=True) must
+    match the original on both the XLA fallback path and the fused
+    interpret path — and must actually have dropped the duplicate
+    weights (round-2 verdict: the double-stored qkv inflated the param
+    count 116.1M -> 137.4M and wasted ~42 MB HBM)."""
+    import jax as _jax
+
+    from s3od_tpu.configs import EncoderConfig
+    from s3od_tpu.models import dinov3
+    from s3od_tpu.models.dinov3 import encoder_forward, init_encoder_params
+    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
+    cfg = EncoderConfig(
+        hidden_size=128, num_layers=2, num_heads=2, intermediate_size=256,
+        patch_size=16, num_register_tokens=4,
+    )
+    params = init_encoder_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)) * 0.3, jnp.float32)
+
+    ref = encoder_forward(params, x, cfg, [1, 2], attn_impl="xla")
+
+    import copy
+
+    packed = pack_encoder_qkv(
+        {"encoder": copy.deepcopy(params)}, cfg.num_heads, drop_unpacked=True
+    )["encoder"]
+    for blk in packed["blocks"]:
+        assert "qkv" not in blk["attention"]
+        assert "qkv_packed" in blk["attention"]
+    n_ref = sum(t.size for t in _jax.tree.leaves(params))
+    n_packed = sum(t.size for t in _jax.tree.leaves(packed))
+    assert n_packed == n_ref  # packed replaces, never duplicates
+
+    # XLA fallback: rebuilds the fused kernel via unpack_qkv_params.
+    got_xla = encoder_forward(packed, x, cfg, [1, 2], attn_impl="xla")
+    for g, r in zip(got_xla, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    # Fused Pallas path (interpret mode) on the packed-only tree.
+    monkeypatch.setattr(dinov3, "_QKV_FUSED_INTERPRET", True)
+    monkeypatch.setattr(
+        "s3od_tpu.ops.attention.resolve_attn_impl",
+        lambda n, dtype, impl="auto": "flash",
+    )
+    got_fused = encoder_forward(packed, x, cfg, [1, 2], attn_impl="flash")
+    for g, r in zip(got_fused, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-5)
+
+
+def test_flash_explicit_blocks_bypass_tall_override(monkeypatch):
+    """An EXPLICIT block_q on the static-bound streaming path is honored
+    as passed; only auto-picked blocks go through _tall_stream_block_q
+    (ADVICE r2: the override silently made the block_q parameter a no-op,
+    invalidating block sweeps)."""
+    from s3od_tpu.ops import flash_attention as fa_mod
+    from s3od_tpu.ops.attention import _xla_attention
+    from s3od_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(5)
+    b, n, h, d = 1, 300, 2, 64  # pads to 384 = 3 k-blocks of 128
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    ref = _xla_attention(q, k, v, d**-0.5)
+
+    calls = []
+
+    def spy(n_pad, block_q, block_k):
+        calls.append((n_pad, block_q, block_k))
+        return block_q
+
+    monkeypatch.setattr(fa_mod, "_tall_stream_block_q", spy)
+
+    got = flash_attention(
+        q, k, v, scale=d**-0.5, block_q=128, block_k=128, interpret=True,
+        static_softmax_bound=True,
+    )
+    assert calls == []  # explicit blocks: override bypassed
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    got_auto = flash_attention(
+        q, k, v, scale=d**-0.5, interpret=True, static_softmax_bound=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_auto), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_d128_interpret_values_and_grads():
+    """head_dim 128 (FLUX/MMDiT shapes — the kernel's design points are
+    D=64 ViT): forward and gradients vs XLA in interpreter mode, on both
+    the single-K-block and the streaming path. Hardware timing receipts:
+    benchmarks/exp_flash_d128.py."""
+    from s3od_tpu.ops.attention import _xla_attention
+    from s3od_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(8)
+    b, n, h, d = 1, 200, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    ref = _xla_attention(q, k, v, d**-0.5)
+
+    for bq, bk in ((208, 208), (64, 64)):  # single-pass / streaming
+        got = flash_attention(
+            q, k, v, scale=d**-0.5, block_q=bq, block_k=bk, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5,
+            err_msg=f"blocks {bq}/{bk}",
+        )
+
+    def grads(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v))), argnums=(0, 1, 2)
+        )(q, k, v)
+
+    gf = grads(
+        lambda q, k, v: flash_attention(
+            q, k, v, scale=d**-0.5, block_q=64, block_k=64, interpret=True
+        )
+    )
+    gx = grads(lambda q, k, v: _xla_attention(q, k, v, d**-0.5))
+    for got, ref_g, name in zip(gf, gx, "qkv"):
+        rel = float(jnp.abs(got - ref_g).max() / (jnp.abs(ref_g).max() + 1e-9))
+        assert rel < 1e-4, f"d{name} rel err {rel}"
