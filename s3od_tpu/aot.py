@@ -106,7 +106,13 @@ def save_serving_bundle(
 
     ``params``/``state`` are a raw checkpoint tree; the same load-time
     transforms the predictor applies (prepare_serving_params) run here
-    ONCE and are persisted, so bundle loads skip them."""
+    ONCE and are persisted, so bundle loads skip them.
+
+    Export production bundles ON the TPU backend: attention-impl
+    resolution reads `jax.default_backend()` at trace time, so a bundle
+    exported from a CPU host bakes the XLA attention path even with
+    ``platforms=["tpu"]`` (it runs on TPU, but without the flash/fused
+    Pallas kernels — ~2x slower at 1024px)."""
     import jax.numpy as jnp
 
     from s3od_tpu.convert import save_native

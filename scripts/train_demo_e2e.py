@@ -32,6 +32,10 @@ def main():
                          "split). Raised vs the fine-tune default 1e-5 "
                          "because the demo trains from scratch.")
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--data-size", type=int, default=256,
+                    help="procedural source-image resolution; set to "
+                         "--image-size for production-shape runs so the "
+                         "loader isn't upscaling small sources")
     ap.add_argument("--loss", default="focal_iou",
                     choices=["focal_iou", "bce_iou_ssim"])
     ap.add_argument("--head-lr-mult", type=float, default=10.0)
@@ -73,7 +77,7 @@ def main():
         subprocess.run(
             [sys.executable, "scripts/make_demo_dataset.py",
              str(data_dir / "demo"), "--n", str(args.n_images),
-             "--size", "256"],
+             "--size", str(args.data_size)],
             check=True,
         )
 

@@ -242,6 +242,7 @@ def test_clahe_raises_contrast_of_flat_image():
     assert y.std() > np.asarray(x).std() * 1.5
 
 
+@pytest.mark.slow
 def test_synthetic_pipeline_batch_independent():
     """Per-sample parameters: different samples of a batch must receive
     different augmentations (checked via duplicated inputs)."""
@@ -256,6 +257,7 @@ def test_synthetic_pipeline_batch_independent():
     assert np.mean(diffs) > 0.8
 
 
+@pytest.mark.slow
 def test_synthetic_pipeline_jits():
     import functools
 

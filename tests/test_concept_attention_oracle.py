@@ -156,6 +156,7 @@ def test_dual_block_matches_reference_fork():
         assert diff < 5e-5, (name, diff)
 
 
+@pytest.mark.slow
 def test_dual_block_no_concept_matches_reference_fork():
     """Concept stream absent: the plain FLUX dual-block path."""
     ref = _load_reference_block_module()

@@ -95,6 +95,7 @@ def test_torch_export_rejects_nonzero_key_bias(tiny_model):
         export_torch_state_dict(bad, state)
 
 
+@pytest.mark.slow
 def test_optimizer_freezes_qkv_key_bias(tiny_model):
     """A training update with dense gradients must leave the key-bias
     segment of every fused QKV bias exactly zero."""

@@ -118,6 +118,7 @@ def test_filter_pipeline(generated_dataset, tmp_path):
     assert len(remaining) == 1
 
 
+@pytest.mark.slow
 def test_heuristic_vlm_filters(generated_dataset):
     from s3od_tpu.datagen.filters.vlm import (
         GemmaMaskArtifactFilter,
@@ -207,6 +208,7 @@ def test_active_learning_loop_closure(tmp_path):
     assert per_class == alloc  # hard class got more samples than easy
 
 
+@pytest.mark.slow
 def test_flux_finetune_cli_end_to_end(tmp_path):
     """LoRA-finetune CLI orchestration (`datagen/flux_finetune.py`, reference
     `data_generation/flux_finetune/`): collect captioned samples, run

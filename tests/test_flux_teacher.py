@@ -66,6 +66,7 @@ def test_ablations(teacher):
         assert out["pred_masks"].shape == (2, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_lora_identity_and_training():
     import optax
 
@@ -123,6 +124,7 @@ def test_image_logger_panel():
     assert len(logger.panels) == 2
 
 
+@pytest.mark.slow
 def test_transforms_facade():
     from s3od_tpu.training.transforms import get_transforms
 

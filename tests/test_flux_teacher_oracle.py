@@ -115,6 +115,7 @@ def _fusion_params_from_torch(mod):
     return p, s
 
 
+@pytest.mark.slow
 def test_flux_teacher_full_model_parity():
     ref = _build_reference_teacher()
     from s3od_tpu.configs import segmentation_config

@@ -55,6 +55,7 @@ def _load_reference_transformer_module():
     )
 
 
+@pytest.mark.slow
 def test_full_transformer_matches_reference_fork():
     ref_mod = _load_reference_transformer_module()
     from s3od_tpu.datagen.convert_flux import convert_flux_transformer

@@ -24,6 +24,7 @@ def tiny_tree():
     return params, state, cfg
 
 
+@pytest.mark.slow
 def test_sod_predictor_streaming_kernel_path(monkeypatch, tiny_tree):
     """Full SODPredictor graph through the streaming static-bound flash
     kernel (the 2048px DIS path) at a reduced canvas, vs the XLA path."""

@@ -117,6 +117,7 @@ def test_batch_chunking_matches_single(predictor, circle_image):
         np.testing.assert_allclose(b.all_ious, s.all_ious, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_data_parallel_batch_non_divisible(circle_image):
     """A sharded predictor must handle list lengths not divisible by the
     mesh (tail bucket rounds up to mesh divisibility and pads)."""
@@ -161,6 +162,7 @@ def test_native_checkpoint_roundtrip(tmp_path, predictor, circle_image):
     np.testing.assert_allclose(r1.predicted_mask, r2.predicted_mask, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_data_parallel_batch(circle_image):
     """Sharded batched inference over the virtual multi-device mesh."""
     cfg = tiny_test_config()

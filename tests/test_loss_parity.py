@@ -69,7 +69,11 @@ def _ref_focal_iou_module(torch, ref_loss):
     return module
 
 
-@pytest.mark.parametrize("epoch", [0, 5, 40])
+@pytest.mark.parametrize(
+    "epoch",
+    [0, pytest.param(5, marks=pytest.mark.slow),
+     pytest.param(40, marks=pytest.mark.slow)],
+)
 def test_focal_iou_parity(reference_loss, epoch):
     torch, ref_loss = reference_loss
     rng = np.random.default_rng(epoch)

@@ -44,6 +44,7 @@ def _inputs(cfg, ph=4, pw=6, b=1, n_txt=8, n_c=2, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_concept_stream_is_observational(tiny):
     """Concepts must not perturb the generation (reference invariant: the
     concept stream only reads image K/V, never writes back)."""
@@ -128,6 +129,7 @@ def test_compress_features_matches_reference_grouping():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_t2i_and_extraction(tiny):
     cfg, params = tiny
     rng = np.random.default_rng(0)
@@ -161,6 +163,7 @@ def test_pipeline_t2i_and_extraction(tiny):
     assert "fox" in ext.concept_maps
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_pipeline_matches_replicated(tiny):
     """FSDP weight sharding (diffusion.py `mesh`/`from_config(fsdp=...)`):
     the full-size MMDiT (~24 GB bf16) exceeds one v5e chip's HBM, so

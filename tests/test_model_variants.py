@@ -2,6 +2,7 @@
 the non-default encoders must build and run, not just exist in configs."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from s3od_tpu.models.segmentation import (
 )
 
 
+@pytest.mark.slow
 def test_dinov3_large_forward_smoke():
     """ViT-L (taps 4/11/17/23 over 24 layers) builds and produces finite
     masks + IoUs at a small canvas; tap indices stay in range and the

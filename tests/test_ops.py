@@ -202,6 +202,7 @@ def test_flash_attention_interpret_forward_matches_xla(n, block_q, block_k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_flash_attention_interpret_gradients_match_xla():
     """Pallas flash backward (dq + dkv kernels) in interpreter mode vs XLA
     autodiff, including the padded-sequence masking path."""
@@ -252,6 +253,7 @@ def test_flash_attention_gradients_match_xla():
     assert rel < 2e-2
 
 
+@pytest.mark.slow
 def test_flash_attention_prepadded_n_valid_matches_self_pad():
     """Caller-pre-padded sequences with n_valid must be bit-identical to the
     wrapper's own padding (the encoder pre-pads once to avoid per-layer
@@ -289,6 +291,7 @@ def test_flash_attention_prepadded_n_valid_matches_self_pad():
     np.testing.assert_allclose(np.asarray(gpad), np.asarray(gref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_flash_static_softmax_bound_exact_and_nan_safe():
     """The single-K-block kernel softmaxes against a STATIC bound instead of
     the row max (s3od_tpu/ops/flash_attention.py SOFTMAX_BOUND_*). Contract:
@@ -369,6 +372,7 @@ def test_flash_static_softmax_bound_exact_and_nan_safe():
         assert np.isfinite(np.asarray(t)).all()
 
 
+@pytest.mark.slow
 def test_flash_static_softmax_bound_streaming_kernel():
     """The STREAMING (multi-K-block) forward also honors the static bound
     (_fwd_kernel_stream_static: no online max tracking, no accumulator
@@ -424,6 +428,7 @@ def test_flash_static_softmax_bound_streaming_kernel():
         assert np.isfinite(np.asarray(t)).all()
 
 
+@pytest.mark.slow
 def test_encoder_sequence_padding_is_transparent(monkeypatch):
     """Force the encoder's pad-once path on CPU (fp32 XLA attention with
     n_valid masking) and check taps and gradients match the unpadded run."""
@@ -525,6 +530,7 @@ def test_pallas_layernorm_row_block_picker():
     assert _pick_rows(131) == 0         # prime: no block, XLA fallback
 
 
+@pytest.mark.slow
 def test_qkv_project_rope_interpret_matches_graph_path():
     """Fused QKV+RoPE Pallas kernel (interpret mode) vs the encoder's plain
     graph prologue: linear -> reshape -> RoPE -> scale -> head transpose.
@@ -612,6 +618,7 @@ def test_qkv_project_rope_interpret_matches_graph_path():
         assert rel < 1e-5, f"{name} rel err {rel}"
 
 
+@pytest.mark.slow
 def test_encoder_fused_qkv_path_matches_xla(monkeypatch):
     """Full encoder with the fused projection + flash kernels (interpret
     mode, forced via attn_impl='flash') vs the plain XLA path."""
@@ -779,6 +786,7 @@ def test_mlp_fused_block_picker_fits_vmem_scope():
     assert _pick_block(96, 128, 512, 48) == 48
 
 
+@pytest.mark.slow
 def test_encoder_fused_path_gradients_and_remat_match_xla(monkeypatch):
     """Gradients through the FULL fused encoder chain (qkv-projection +
     flash + epilogue + fused MLP custom_vjps), with and without per-block
@@ -831,6 +839,7 @@ def test_encoder_fused_path_gradients_and_remat_match_xla(monkeypatch):
     "shape",
     [(1, 32, 128, 256, 256), (2, 16, 128, 128, 128), (1, 48, 144, 256, 128)],
 )
+@pytest.mark.slow
 def test_winograd_conv_interpret_matches_xla(shape):
     """Winograd conv (interpret mode) vs lax.conv at fp32: the transform
     algebra is exact; only fp32 rounding differs (~1e-6 relative)."""
@@ -852,6 +861,7 @@ def test_winograd_conv_interpret_matches_xla(shape):
     assert rel < 5e-6, rel
 
 
+@pytest.mark.slow
 def test_winograd_bf16_error_no_worse_than_bf16_conv():
     """bf16 Winograd must not add error beyond what the plain bf16 conv
     already has vs the fp32 reference (serving swaps one for the other)."""
@@ -872,6 +882,7 @@ def test_winograd_bf16_error_no_worse_than_bf16_conv():
     assert err_wino < 2.0 * err_conv, (err_wino, err_conv)
 
 
+@pytest.mark.slow
 def test_winograd_gradients_match_conv(monkeypatch):
     """conv2d with the Winograd gate on: values route through the kernel,
     gradients through the custom_vjp XLA reference — both match lax.conv,
@@ -921,6 +932,7 @@ def test_winograd_eligibility_gate():
     assert not winograd_available(32, 256, 512, 256, jnp.float32)
 
 
+@pytest.mark.slow
 def test_dpt_decoder_with_winograd_gate_matches_xla(monkeypatch):
     """Full DPT decoder with the Winograd gate on (interpret): the eligible
     convs reroute, everything else untouched; output parity vs the XLA path."""
@@ -948,6 +960,7 @@ def test_dpt_decoder_with_winograd_gate_matches_xla(monkeypatch):
         assert rel < 5e-5, (kk, rel)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(2, 32, 128, 128), (1, 64, 144, 128)])
 def test_rcu_winograd_interpret_matches_reference(shape):
     """Chained RCU kernel (interpret): x + conv2(relu(conv1(relu(x))))
@@ -972,6 +985,7 @@ def test_rcu_winograd_interpret_matches_reference(shape):
     assert rel < 5e-6, rel
 
 
+@pytest.mark.slow
 def test_rcu_winograd_gradients_match_reference():
     from s3od_tpu.ops.winograd import _rcu_reference, rcu_winograd
 
@@ -997,6 +1011,7 @@ def test_rcu_winograd_gradients_match_reference():
         assert rel < 2e-5, rel
 
 
+@pytest.mark.slow
 def test_dpt_bnfolded_decoder_winograd_matches_xla(monkeypatch):
     """BN-folded serving decoder with the gate on: RCUs route through the
     chained kernel, eligible single convs through the conv kernel; output

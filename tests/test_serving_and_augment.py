@@ -64,7 +64,11 @@ def _batch(b=4, s=32, seed=0):
     return imgs, masks
 
 
-@pytest.mark.parametrize("mode", ["test", "regular", "synthetic"])
+@pytest.mark.parametrize(
+    "mode",
+    ["test", "regular",
+     pytest.param("synthetic", marks=pytest.mark.slow)],
+)
 def test_augment_modes(mode):
     imgs, masks = _batch()
     x, m = augment_batch(jax.random.key(0), imgs, masks, mode)

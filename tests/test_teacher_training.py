@@ -67,6 +67,7 @@ def test_feature_dataset_mapping_and_loading(flux_dataset):
     assert batch["concept_maps"]["category"].shape[0] == 1
 
 
+@pytest.mark.slow
 def test_teacher_train_step_wiring():
     """make_train_step with a teacher forward_fn updates params and BN."""
     base = tiny_test_config()
