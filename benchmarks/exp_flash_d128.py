@@ -134,11 +134,16 @@ def main():
         except Exception as e:
             print(f"C [{impl}] FAILED: {type(e).__name__}: {str(e)[:200]}")
             continue
-        comp = jax.jit(lambda p, i, t, e, impl=impl: dual_block(
-            p, i, t, None, e, None, rope, None, cfg, attn_impl=impl)
-        ).lower(dual_p, img, txt, temb).compile()
-        ca = comp.cost_analysis()
-        fl_d = (ca or {}).get("flops", 0.0)
+        try:
+            comp = jax.jit(lambda p, i, t, e, impl=impl: dual_block(
+                p, i, t, None, e, None, rope, None, cfg, attn_impl=impl)
+            ).lower(dual_p, img, txt, temb).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            fl_d = float((ca or {}).get("flops", 0.0))
+        except Exception:
+            fl_d = 0.0
         results[impl] = (td, ts)
         step = 19 * td + 38 * ts
         print(f"C [{impl:5s}] dual {td*1e3:7.2f} ms  single {ts*1e3:7.2f} ms"

@@ -129,6 +129,12 @@ def main():
     ap.add_argument("--output_file", default="benchmark_results.txt")
     ap.add_argument("--trace_dir", default=None)
     args = ap.parse_args()
+    # CLI entry is a hardware entrypoint: fail fast (exit 2) instead of
+    # hanging when the axon relay is dead (s3od_tpu/relay.py). The
+    # programmatic run_benchmark stays probe-free for CPU/test callers.
+    from s3od_tpu.relay import require_backend
+
+    require_backend(timeout_s=240.0, want="")
     run_benchmark(**vars(args))
 
 

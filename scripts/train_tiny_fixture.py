@@ -194,6 +194,12 @@ def main():
     ap.add_argument("--target", type=float, default=0.93,
                     help="stop when every contract metric clears this "
                          "(test asserts 0.9 — train with margin)")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="pre-generate this many samples and draw batches "
+                         "from the pool instead of synthesizing per step — "
+                         "at 1024px the PIL sample synthesis (~1 s/batch "
+                         "on the 1-core host) otherwise outruns the TPU "
+                         "step and dominates wall-clock; 0 = per-step")
     ap.add_argument("--out", default=str(FIXTURE / "tiny_s3od.npz"))
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (slow: ~3 s/step — the "
@@ -242,9 +248,22 @@ def main():
 
     rng_np = np.random.default_rng(args.seed)
     rng = jax.random.key(args.seed + 1)
+    pool = None
+    if args.pool:
+        imgs, msks = [], []
+        while sum(len(a) for a in imgs) < args.pool:
+            a, b = make_batch(rng_np, args.batch, args.size)
+            imgs.append(a)
+            msks.append(b)
+        pool = (np.concatenate(imgs), np.concatenate(msks))
+        print(f"sample pool: {len(pool[0])} canvases", flush=True)
     best = None  # (real-contract min, params, bn_state, scores)
     for step in range(1, args.max_steps + 1):
-        images, masks = make_batch(rng_np, args.batch, args.size)
+        if pool is not None:
+            idx = rng_np.choice(len(pool[0]), args.batch, replace=False)
+            images, masks = pool[0][idx], pool[1][idx]
+        else:
+            images, masks = make_batch(rng_np, args.batch, args.size)
         x = normalize_imagenet(jnp.asarray(images, jnp.float32) / 255.0)
         batch = {"images": x, "masks": jnp.asarray(masks)}
         rng, rs = jax.random.split(rng)

@@ -97,3 +97,32 @@ def test_bundle_rejects_non_bundle_dir(tmp_path):
     (tmp_path / "meta.json").write_text('{"format": "something-else"}')
     with pytest.raises(ValueError, match="not a serving bundle"):
         load_serving_bundle(tmp_path)
+
+
+def test_bundle_bf16_weights_roundtrip_exact(tmp_path, tiny_tree):
+    """bf16 serving trees persist as fp32 npz (no native bf16 npy
+    encoding); bf16 -> fp32 -> bf16 must be bit-exact and the reloaded
+    tree must carry the packed-qkv serving layout with no duplicate."""
+    params, state, cfg = tiny_tree
+    out = save_serving_bundle(
+        tmp_path / "b16", params, state, cfg,
+        image_size=64, batches=(1,), dtype="bfloat16",
+    )
+    bundle = load_serving_bundle(out)
+
+    from s3od_tpu.predictor import prepare_serving_params
+
+    ref_params, _, _ = prepare_serving_params(
+        params, state, cfg, jnp.bfloat16, fold_bn=True
+    )
+    ref_leaves = jax.tree.leaves(ref_params)
+    got_leaves = jax.tree.leaves(bundle.params)
+    assert len(ref_leaves) == len(got_leaves)
+    for r, g in zip(ref_leaves, got_leaves):
+        assert g.dtype == r.dtype
+        np.testing.assert_array_equal(
+            np.asarray(g, np.float32), np.asarray(r, np.float32)
+        )
+    for blk in bundle.params["encoder"]["blocks"]:
+        assert "qkv" not in blk["attention"]
+        assert "qkv_packed" in blk["attention"]
