@@ -92,10 +92,16 @@ def probe_backend(
         None,
     )
     if proc.returncode != 0 or line is None:
-        tail = (proc.stderr.strip().splitlines() or ["no stderr"])[-1]
+        lines = proc.stderr.strip().splitlines() or ["no stderr"]
+        # Prefer the actual exception line over JAX's traceback-filtering
+        # notice (which is often the literal last line).
+        tail = next(
+            (l for l in reversed(lines) if "rror" in l or "xception" in l),
+            lines[-1],
+        )
         return ProbeResult(
             False, "", 0, float("inf"), elapsed,
-            f"probe failed rc={proc.returncode}: {tail}",
+            f"probe failed rc={proc.returncode}: {tail.strip()[:300]}",
         )
     _, n, backend, dt_ms = line.split()
     return ProbeResult(True, backend, int(n), float(dt_ms), elapsed, "")
