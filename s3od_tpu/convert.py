@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from s3od_tpu.configs import SegmentationConfig, segmentation_config
@@ -34,17 +33,17 @@ def _t(arr) -> np.ndarray:
 
 
 def _linear(sd: Dict, prefix: str, bias: bool = True) -> dict:
-    p = {"kernel": jnp.asarray(_t(sd[prefix + ".weight"]).T)}
+    p = {"kernel": np.asarray(_t(sd[prefix + ".weight"]).T)}
     if bias and prefix + ".bias" in sd:
-        p["bias"] = jnp.asarray(_t(sd[prefix + ".bias"]))
+        p["bias"] = np.asarray(_t(sd[prefix + ".bias"]))
     return p
 
 
 def _conv(sd: Dict, prefix: str) -> dict:
     w = _t(sd[prefix + ".weight"])  # (out, in, kh, kw)
-    p = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}
+    p = {"kernel": np.asarray(w.transpose(2, 3, 1, 0))}
     if prefix + ".bias" in sd:
-        p["bias"] = jnp.asarray(_t(sd[prefix + ".bias"]))
+        p["bias"] = np.asarray(_t(sd[prefix + ".bias"]))
     return p
 
 
@@ -54,8 +53,8 @@ def _convt_block(sd: Dict, prefix: str, factor: int) -> dict:
     # (in, out, kh, kw) -> (in, kh, kw, out) -> (in, k*k*out)
     w = w.transpose(0, 2, 3, 1).reshape(cin, factor * factor * cout)
     return {
-        "kernel": jnp.asarray(w),
-        "bias": jnp.asarray(_t(sd[prefix + ".bias"])),
+        "kernel": np.asarray(w),
+        "bias": np.asarray(_t(sd[prefix + ".bias"])),
     }
 
 
@@ -64,19 +63,19 @@ def _convt_general(sd: Dict, prefix: str) -> dict:
     # Equivalent forward conv: flip spatial, treat as (kh, kw, in, out) HWIO.
     w = w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
     return {
-        "kernel": jnp.asarray(np.ascontiguousarray(w)),
-        "bias": jnp.asarray(_t(sd[prefix + ".bias"])),
+        "kernel": np.asarray(np.ascontiguousarray(w)),
+        "bias": np.asarray(_t(sd[prefix + ".bias"])),
     }
 
 
 def _bn(sd: Dict, prefix: str) -> Tuple[dict, dict]:
     p = {
-        "weight": jnp.asarray(_t(sd[prefix + ".weight"])),
-        "bias": jnp.asarray(_t(sd[prefix + ".bias"])),
+        "weight": np.asarray(_t(sd[prefix + ".weight"])),
+        "bias": np.asarray(_t(sd[prefix + ".bias"])),
     }
     s = {
-        "mean": jnp.asarray(_t(sd[prefix + ".running_mean"])),
-        "var": jnp.asarray(_t(sd[prefix + ".running_var"])),
+        "mean": np.asarray(_t(sd[prefix + ".running_mean"])),
+        "var": np.asarray(_t(sd[prefix + ".running_var"])),
     }
     return p, s
 
@@ -94,8 +93,8 @@ def _fused_qkv(sd: Dict, prefix: str) -> dict:
             _t(sd[bkey]) if bkey in sd else np.zeros((dim,), np.float32)
         )
     return {
-        "kernel": jnp.asarray(np.concatenate(kernels, axis=1)),
-        "bias": jnp.asarray(np.concatenate(biases)),
+        "kernel": np.asarray(np.concatenate(kernels, axis=1)),
+        "bias": np.asarray(np.concatenate(biases)),
     }
 
 
@@ -113,33 +112,33 @@ def convert_encoder(sd: Dict, cfg) -> dict:
         blocks.append(
             {
                 "norm1": {
-                    "weight": jnp.asarray(_t(sd[f"{pre}.norm1.weight"])),
-                    "bias": jnp.asarray(_t(sd[f"{pre}.norm1.bias"])),
+                    "weight": np.asarray(_t(sd[f"{pre}.norm1.weight"])),
+                    "bias": np.asarray(_t(sd[f"{pre}.norm1.bias"])),
                 },
                 "attention": {
                     "qkv": _fused_qkv(sd, f"{pre}.attention"),
                     "o_proj": _linear(sd, f"{pre}.attention.o_proj"),
                 },
-                "ls1": jnp.asarray(_t(sd[f"{pre}.layer_scale1.lambda1"])),
+                "ls1": np.asarray(_t(sd[f"{pre}.layer_scale1.lambda1"])),
                 "norm2": {
-                    "weight": jnp.asarray(_t(sd[f"{pre}.norm2.weight"])),
-                    "bias": jnp.asarray(_t(sd[f"{pre}.norm2.bias"])),
+                    "weight": np.asarray(_t(sd[f"{pre}.norm2.weight"])),
+                    "bias": np.asarray(_t(sd[f"{pre}.norm2.bias"])),
                 },
                 "mlp": {
                     "up_proj": _linear(sd, f"{pre}.mlp.up_proj"),
                     "down_proj": _linear(sd, f"{pre}.mlp.down_proj"),
                 },
-                "ls2": jnp.asarray(_t(sd[f"{pre}.layer_scale2.lambda1"])),
+                "ls2": np.asarray(_t(sd[f"{pre}.layer_scale2.lambda1"])),
             }
         )
         i += 1
 
     return {
-        "cls_token": jnp.asarray(_t(sd["encoder.embeddings.cls_token"])),
-        "register_tokens": jnp.asarray(_t(sd["encoder.embeddings.register_tokens"])),
+        "cls_token": np.asarray(_t(sd["encoder.embeddings.cls_token"])),
+        "register_tokens": np.asarray(_t(sd["encoder.embeddings.register_tokens"])),
         "patch_embed": {
-            "kernel": jnp.asarray(pe_k),
-            "bias": jnp.asarray(_t(sd["encoder.embeddings.patch_embeddings.bias"])),
+            "kernel": np.asarray(pe_k),
+            "bias": np.asarray(_t(sd["encoder.embeddings.patch_embeddings.bias"])),
         },
         "blocks": blocks,
     }
@@ -453,7 +452,7 @@ def _unflatten(flat: Dict[str, np.ndarray]):
         node = root
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = None if is_none else jnp.asarray(val)
+        node[parts[-1]] = None if is_none else np.asarray(val)
 
     def listify(node):
         if isinstance(node, dict):

@@ -77,6 +77,14 @@ class SODPredictor:
             self.params = pack_encoder_qkv(
                 self.params, self.cfg.encoder.num_heads, drop_unpacked=True
             )
+        if jax.default_backend() == "tpu":
+            # Packed one-transfer weight upload (relay cold-start;
+            # s3od_tpu/aot.py device_put_packed).
+            from s3od_tpu.aot import device_put_packed
+
+            self.params, self.state = device_put_packed(
+                (self.params, self.state)
+            )
         self._jit = None
 
     @classmethod

@@ -53,12 +53,20 @@ def prepare_serving_params(
 
         params, state, cfg = fold_bn_inference(params, state, cfg)
     if compute_dtype == jnp.bfloat16:
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            params,
-        )
+        # Host-resident leaves (checkpoint loads) cast on the HOST via
+        # ml_dtypes (identical round-to-nearest-even) — casting ~300
+        # leaves through device ops costs one relay RPC each; device
+        # leaves cast in place.
+        import ml_dtypes
+
+        def cast(x):
+            if isinstance(x, np.ndarray) and x.dtype == np.float32:
+                return x.astype(ml_dtypes.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                return x.astype(jnp.bfloat16)
+            return x
+
+        params = jax.tree.map(cast, params)
         from s3od_tpu.ops.qkv_project import pack_encoder_qkv
 
         params = pack_encoder_qkv(
@@ -155,6 +163,14 @@ class BackgroundRemoval:
             self.params, self.state, self.cfg, self.compute_dtype,
             fold_bn=fold_bn,
         )
+        if jax.default_backend() == "tpu":
+            # One packed transfer instead of ~300 per-leaf RPCs through
+            # the relay — the dominant cold-start term (s3od_tpu/aot.py).
+            from s3od_tpu.aot import device_put_packed
+
+            self.params, self.state = device_put_packed(
+                (self.params, self.state)
+            )
 
         self.mean = IMAGENET_MEAN
         self.std = IMAGENET_STD

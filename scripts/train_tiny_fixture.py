@@ -255,36 +255,109 @@ def main():
             a, b = make_batch(rng_np, args.batch, args.size)
             imgs.append(a)
             msks.append(b)
-        pool = (np.concatenate(imgs), np.concatenate(msks))
-        print(f"sample pool: {len(pool[0])} canvases", flush=True)
+        # DEVICE-resident pool: upload uint8 canvases + bool masks ONCE
+        # and gather batches by index on device. Per-step host->device
+        # transfer through the relay otherwise dominates at 1024px
+        # (batch 8 fp32 canvases = 100 MB/step).
+        pool = (
+            jnp.asarray(np.concatenate(imgs)),                  # uint8
+            jnp.asarray(np.concatenate(msks) > 0.5),            # bool
+        )
+
+        import functools
+
+        from jax import lax
+
+        # Multiple steps per dispatch: per-step dispatch over the relay
+        # costs seconds of RPC latency each (measured ~2.5 s/step at
+        # 1024px). A scan that gathers from the 805 MB pool INSIDE the
+        # body reliably crashed the TPU worker ("kernel fault", r3), so
+        # the chunk's micro-batches are gathered in their own small
+        # program first and the scan consumes the pre-gathered uint8.
+        @jax.jit
+        def gather_chunk(imgs_u8, masks_b, idx_chunk):
+            n, b = idx_chunk.shape
+            flat = idx_chunk.reshape(-1)
+            return (
+                jnp.take(imgs_u8, flat, axis=0)
+                .reshape(n, b, *imgs_u8.shape[1:]),
+                jnp.take(masks_b, flat, axis=0)
+                .reshape(n, b, *masks_b.shape[1:]),
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_chunk(state, imgs_chunk_u8, masks_chunk_b, epoch, key):
+            def body(carry, xs):
+                state, key = carry
+                img_u8, m_b = xs
+                key, rs = jax.random.split(key)
+                x = normalize_imagenet(img_u8.astype(jnp.float32) / 255.0)
+                mb = {"images": x, "masks": m_b.astype(jnp.float32)}
+                state, metrics = train_step(state, mb, epoch, rs)
+                return (state, key), metrics
+
+            (state, key), ms = lax.scan(
+                body, (state, key), (imgs_chunk_u8, masks_chunk_b)
+            )
+            return state, key, jax.tree.map(lambda t: t[-1], ms)
+
+        print(f"sample pool: {len(pool[0])} canvases (device-resident, "
+              f"{pool[0].nbytes/1e6:.0f} MB)", flush=True)
     best = None  # (real-contract min, params, bn_state, scores)
-    for step in range(1, args.max_steps + 1):
-        if pool is not None:
-            idx = rng_np.choice(len(pool[0]), args.batch, replace=False)
-            images, masks = pool[0][idx], pool[1][idx]
-        else:
-            images, masks = make_batch(rng_np, args.batch, args.size)
-        x = normalize_imagenet(jnp.asarray(images, jnp.float32) / 255.0)
-        batch = {"images": x, "masks": jnp.asarray(masks)}
-        rng, rs = jax.random.split(rng)
-        state, metrics = train_step(
-            state, batch, jnp.asarray(step // args.eval_every, jnp.float32), rs)
-        if step % args.eval_every == 0:
-            scores = proxy_eval(state.params, state.bn_state)
-            print(f"step {step:5d}  loss {float(metrics['loss']):8.3f}  "
-                  f"best_iou {float(metrics['best_iou']):.3f}  "
-                  f"proxy sel {scores['selected_iou']:.3f}  "
-                  f"min {scores['min_contract']:.3f}", flush=True)
-            if scores["min_contract"] >= args.target:
-                # Proxy cleared — check the REAL public-API contract.
-                p_np = jax.tree.map(np.asarray, state.params)
-                s_np = jax.tree.map(np.asarray, state.bn_state)
-                real, _ = evaluate_fixture(p_np, s_np, cfg, args.size)
-                print(f"          real contract: {real}", flush=True)
-                if best is None or real["min_contract"] > best[0]:
-                    best = (real["min_contract"], p_np, s_np, real)
-                if real["min_contract"] >= args.target:
+
+    def eval_block(step, metrics, state):
+        """Proxy-score; on a proxy pass run the REAL public-API contract.
+        Returns True when the real contract clears the target (stop)."""
+        nonlocal best
+        scores = proxy_eval(state.params, state.bn_state)
+        print(f"step {step:5d}  loss {float(metrics['loss']):8.3f}  "
+              f"best_iou {float(metrics['best_iou']):.3f}  "
+              f"proxy sel {scores['selected_iou']:.3f}  "
+              f"min {scores['min_contract']:.3f}", flush=True)
+        if scores["min_contract"] < args.target:
+            return False
+        p_np = jax.tree.map(np.asarray, state.params)
+        s_np = jax.tree.map(np.asarray, state.bn_state)
+        real, _ = evaluate_fixture(p_np, s_np, cfg, args.size)
+        print(f"          real contract: {real}", flush=True)
+        if best is None or real["min_contract"] > best[0]:
+            best = (real["min_contract"], p_np, s_np, real)
+        return real["min_contract"] >= args.target
+
+    if pool is not None:
+        # Chunk length: bounded by device memory for the pre-gathered
+        # uint8 batches (n * batch * size^2 * 3 bytes; 10 * 8 @1024 =
+        # 250 MB) — small enough to double-buffer, big enough to
+        # amortize the relay's per-dispatch RPC latency.
+        chunk_len = max(1, min(10, args.eval_every))
+        step = 0
+        while step < args.max_steps:
+            n = min(chunk_len, args.max_steps - step)
+            idx_chunk = np.stack([
+                rng_np.choice(len(pool[0]), args.batch, replace=False)
+                for _ in range(n)
+            ])
+            imgs_c, masks_c = gather_chunk(
+                pool[0], pool[1], jnp.asarray(idx_chunk))
+            epoch_f = jnp.asarray(step // args.eval_every, jnp.float32)
+            state, rng, metrics = train_chunk(
+                state, imgs_c, masks_c, epoch_f, rng)
+            prev_block = step // args.eval_every
+            step += n
+            if step // args.eval_every != prev_block or step >= args.max_steps:
+                if eval_block(step, metrics, state):
                     break
+    else:
+        for step in range(1, args.max_steps + 1):
+            images, masks = make_batch(rng_np, args.batch, args.size)
+            x = normalize_imagenet(jnp.asarray(images, jnp.float32) / 255.0)
+            batch = {"images": x, "masks": jnp.asarray(masks)}
+            rng, rs = jax.random.split(rng)
+            state, metrics = train_step(
+                state, batch,
+                jnp.asarray(step // args.eval_every, jnp.float32), rs)
+            if step % args.eval_every == 0 and eval_block(step, metrics, state):
+                break
 
     if best is None or best[0] < 0.9:
         got = "none" if best is None else f"{best[0]:.3f}"

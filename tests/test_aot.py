@@ -126,3 +126,27 @@ def test_bundle_bf16_weights_roundtrip_exact(tmp_path, tiny_tree):
     for blk in bundle.params["encoder"]["blocks"]:
         assert "qkv" not in blk["attention"]
         assert "qkv_packed" in blk["attention"]
+
+
+def test_device_put_packed_roundtrip(tiny_tree):
+    """Packed one-transfer upload: values, dtypes and tree structure are
+    preserved exactly; device leaves pass through; mixed trees work."""
+    import ml_dtypes
+
+    from s3od_tpu.aot import device_put_packed
+
+    params, state, cfg = tiny_tree
+    host_tree = jax.tree.map(np.asarray, {"p": params, "s": state})
+    # mix in a bf16 leaf and an already-on-device leaf
+    host_tree["b16"] = np.arange(6, dtype=np.float32).reshape(2, 3).astype(
+        ml_dtypes.bfloat16)
+    host_tree["dev"] = jnp.ones((3,), jnp.float32)
+
+    out = device_put_packed(host_tree)
+    ref_l, ref_d = jax.tree.flatten(host_tree)
+    got_l, got_d = jax.tree.flatten(out)
+    assert ref_d == got_d
+    for r, g in zip(ref_l, got_l):
+        assert hasattr(g, "devices")  # everything on device now
+        assert np.dtype(g.dtype) == np.dtype(r.dtype)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
