@@ -36,6 +36,12 @@ def main():
                     help="procedural source-image resolution; set to "
                          "--image-size for production-shape runs so the "
                          "loader isn't upscaling small sources")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="per-device train batch (1024px + bce_iou_ssim "
+                         "OOMs at the 224px default of 8 — the SSIM convs "
+                         "run on full-res masks; use 4 with --accum 2)")
+    ap.add_argument("--accum", type=int, default=None,
+                    help="gradient accumulation steps")
     ap.add_argument("--loss", default="focal_iou",
                     choices=["focal_iou", "bce_iou_ssim"])
     ap.add_argument("--head-lr-mult", type=float, default=10.0)
@@ -110,6 +116,13 @@ def main():
         "experiment_name=demo",
         f"backend.save_every={args.save_every}",
     ] + (
+        [f"dataset.train_batch_size={args.batch_size}",
+         f"dataset.val_batch_size={args.batch_size}"]
+        if args.batch_size else []
+    ) + (
+        [f"backend.accumulate_grad_batches={args.accum}"]
+        if args.accum else []
+    ) + (
         [f"checkpoint_path={args.checkpoint_path}"]
         if args.checkpoint_path else []
     ) + (
