@@ -324,9 +324,21 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         convt_up = int(cfg.dataset.train_batch_size) >= 8
         # Eval runs unaccumulated: per-device batch is val_batch_size.
         convt_up_eval = int(cfg.dataset.val_batch_size) >= 8
+    # backend.split_augment: run the on-device augmentation pipeline as
+    # its OWN jitted program instead of fused into the train step. Same
+    # math (aug operates on the whole global batch either way; only the
+    # rng draw differs from the fused mode), but the train-step program
+    # shrinks enough that the axon remote compile helper survives it —
+    # synthetic-mode aug + remat fwd/bwd + accum scan at 1024px in ONE
+    # program crashes the helper with HTTP 500 (r3, CLAUDE.md).
+    split_aug = bool(cfg.backend.get("split_augment")) and not is_teacher
+    aug_fn = None
+    if split_aug:
+        aug_fn = jax.jit(train_pre)
     train_step = make_train_step(
         mcfg, loss_module, optimizer, accum_steps=accum,
-        compute_dtype=compute_dtype, preprocess_fn=train_pre,
+        compute_dtype=compute_dtype,
+        preprocess_fn=None if split_aug else train_pre,
         forward_fn=fwd_train,
         remat_policy=cfg.backend.get("remat_policy"),
         convt_up=convt_up,
@@ -384,14 +396,25 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         n_steps = 0
         for batch in train_loader.epoch(epoch):
             rng, step_rng = jax.random.split(rng)
+            batch = shard_batch(batch, mesh)
+            if aug_fn is not None:
+                rng, aug_rng = jax.random.split(rng)
+                batch = aug_fn(aug_rng, batch)
             state, out = train_step(
-                state, shard_batch(batch, mesh),
-                jnp.asarray(float(epoch)), step_rng,
+                state, batch, jnp.asarray(float(epoch)), step_rng,
             )
             # Device-side accumulation: no host readback (which would stall
             # the dispatch pipeline); one transfer per epoch.
             acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
             n_steps += 1
+        if n_steps == 0:
+            raise RuntimeError(
+                f"train loader yielded ZERO batches in epoch {epoch}: "
+                f"{len(train_ds)} train samples < global batch "
+                f"{global_batch} with drop_last — shrink "
+                "dataset.train_batch_size / accumulation or add data "
+                "(previously this silently reported loss=nan)"
+            )
         sums = (
             {k: float(v) for k, v in acc.items()} if acc is not None else {}
         )
@@ -419,6 +442,14 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
                     int(cfg.train_stage.get("max_images", 8)),
                 )
             n_val += 1
+        if n_val == 0 and epoch == start_epoch:
+            logger.warning(
+                "val loader yielded ZERO batches (%d val samples < "
+                "val_batch_size %d with drop_last) — val metrics will read "
+                "0/nan and checkpoint selection by val_dice is meaningless; "
+                "shrink dataset.val_batch_size",
+                len(val_ds), int(cfg.dataset.val_batch_size),
+            )
         val_metrics = {
             f"val_{k}": v / max(n_val, 1)
             for k, v in vsums.items() if k not in ("tp", "fp", "fn")

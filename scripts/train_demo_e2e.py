@@ -116,6 +116,11 @@ def main():
         "experiment_name=demo",
         f"backend.save_every={args.save_every}",
     ] + (
+        # Separate augmentation program at production canvases: the fused
+        # synthetic-aug + remat train step crashes the remote compile
+        # helper at 1024px (HTTP 500; see training/train.py).
+        ["backend.split_augment=true"] if args.image_size >= 1024 else []
+    ) + (
         [f"dataset.train_batch_size={args.batch_size}",
          f"dataset.val_batch_size={args.batch_size}"]
         if args.batch_size else []
