@@ -44,10 +44,9 @@ def main():
 
     cfg = MMDiTConfig(num_dual_blocks=9, num_single_blocks=19)
     rng = np.random.default_rng(0)
-    params = jax.tree.map(
-        lambda t: t.astype(jnp.bfloat16),
-        init_mmdit_params(jax.random.key(0), cfg),
-    )
+    # Direct bf16 init: the fp32 tree at this scale is ~12 GB and an
+    # fp32-then-cast init OOM'd the chip (first run of this script).
+    params = init_mmdit_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"half-depth MMDiT: {n_params/1e9:.2f}B params "
           f"({n_params*2/1e9:.1f} GB bf16)")

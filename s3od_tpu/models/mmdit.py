@@ -411,7 +411,12 @@ def minmax_normalize(maps: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------------------
 
 
-def init_mmdit_params(key: jax.Array, cfg: MMDiTConfig) -> dict:
+def init_mmdit_params(
+    key: jax.Array, cfg: MMDiTConfig, dtype=jnp.float32
+) -> dict:
+    """Random-init params. ``dtype=jnp.bfloat16`` materializes weights
+    directly in bf16 — at FLUX scale the fp32 tree alone is ~24 GB and
+    OOMs a 16 GB chip before any cast can run (r3 receipt)."""
     n_keys = 32 + 10 * (cfg.num_dual_blocks + cfg.num_single_blocks)
     ks = iter(jax.random.split(key, n_keys))
     D = cfg.hidden_size
@@ -419,15 +424,16 @@ def init_mmdit_params(key: jax.Array, cfg: MMDiTConfig) -> dict:
 
     def lin(din, dout, scale=0.02):
         return {
-            "kernel": scale * jax.random.normal(next(ks), (din, dout), jnp.float32),
-            "bias": jnp.zeros((dout,), jnp.float32),
+            "kernel": scale * jax.random.normal(next(ks), (din, dout), dtype),
+            "bias": jnp.zeros((dout,), dtype),
         }
 
     def attn_params():
         return {
             "qkv": lin(D, 3 * D),
             "proj": lin(D, D),
-            "qk_norm": {"q": jnp.ones((cfg.head_dim,)), "k": jnp.ones((cfg.head_dim,))},
+            "qk_norm": {"q": jnp.ones((cfg.head_dim,), dtype),
+                        "k": jnp.ones((cfg.head_dim,), dtype)},
         }
 
     def dual():
@@ -444,7 +450,8 @@ def init_mmdit_params(key: jax.Array, cfg: MMDiTConfig) -> dict:
         return {
             "mod": lin(D, 3 * D),
             "qkv": lin(D, 3 * D),
-            "qk_norm": {"q": jnp.ones((cfg.head_dim,)), "k": jnp.ones((cfg.head_dim,))},
+            "qk_norm": {"q": jnp.ones((cfg.head_dim,), dtype),
+                        "k": jnp.ones((cfg.head_dim,), dtype)},
             "mlp_in": lin(D, mlp),
             "proj_out": lin(D + mlp, D),
         }

@@ -398,8 +398,23 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             rng, step_rng = jax.random.split(rng)
             batch = shard_batch(batch, mesh)
             if aug_fn is not None:
-                rng, aug_rng = jax.random.split(rng)
-                batch = aug_fn(aug_rng, batch)
+                # Augment per accumulation micro-slice: the synthetic
+                # pipeline's temp footprint scales with the augmented
+                # batch (4 GB at batch 8 on CPU analysis; the TPU
+                # compile OOMs at the full global batch), and the train
+                # step consumes micro-batches anyway.
+                slices = []
+                n_g = batch["images"].shape[0]
+                micro = max(1, n_g // max(1, accum))
+                for i in range(0, n_g, micro):
+                    rng, aug_rng = jax.random.split(rng)
+                    slices.append(aug_fn(
+                        aug_rng,
+                        jax.tree.map(lambda t: t[i:i + micro], batch),
+                    ))
+                batch = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *slices
+                )
             state, out = train_step(
                 state, batch, jnp.asarray(float(epoch)), step_rng,
             )

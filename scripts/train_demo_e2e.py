@@ -42,6 +42,10 @@ def main():
                          "run on full-res masks; use 4 with --accum 2)")
     ap.add_argument("--accum", type=int, default=None,
                     help="gradient accumulation steps")
+    ap.add_argument("--precision", default="32", choices=["32", "bf16"],
+                    help="compute precision; at 1024px the fp32 fwd+bwd "
+                         "OOMs (decoder activations, 26 GB > 16 GB HBM) — "
+                         "bf16 is the TPU-native recipe (r2 receipts)")
     ap.add_argument("--loss", default="focal_iou",
                     choices=["focal_iou", "bce_iou_ssim"])
     ap.add_argument("--head-lr-mult", type=float, default=10.0)
@@ -111,7 +115,7 @@ def main():
         f"optimizer.head_lr_mult={args.head_lr_mult}",
         "optimizer.grad_clip=1.0",
         "scheduler.warmup_epochs=8",
-        "backend.precision=32",
+        f"backend.precision={args.precision}",
         f"base_dir={exp_dir}",
         "experiment_name=demo",
         f"backend.save_every={args.save_every}",
