@@ -147,6 +147,14 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() == "tpu":
+        # Persistent compilation cache: a resumed/repeated run otherwise
+        # re-pays ~7 min of remote compiles per process (the 1024px
+        # train-step + aug programs).
+        from s3od_tpu.aot import enable_compilation_cache
+
+        enable_compilation_cache()
+
     from s3od_tpu.ops.augment import augment_batch, normalize_imagenet
     from s3od_tpu.parallel import make_mesh, shard_batch, shard_params
     from s3od_tpu.training.checkpoint import CheckpointManager, EarlyStopping
