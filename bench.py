@@ -111,6 +111,17 @@ def main():
         segmentation_forward,
     )
 
+    if not debug:
+        try:
+            # Persistent compilation cache: repeat bench invocations skip
+            # the 20-90 s remote compiles (the driver's capture run hits
+            # the cache this process warms).
+            from s3od_tpu.aot import enable_compilation_cache
+
+            enable_compilation_cache()
+        except Exception:
+            pass
+
     if debug:
         # Env vars alone can't switch platforms under the axon sitecustomize
         # (it initializes JAX at interpreter startup) — force CPU in-process.
