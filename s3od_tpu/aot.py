@@ -57,9 +57,19 @@ def device_put_packed(tree):
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree.flatten(tree)
+    # Numeric kinds only (+ 'V' for ml_dtypes extension floats like
+    # bfloat16): np.isscalar is also True for str/bytes, which must pass
+    # through untouched rather than be concatenated into a numeric blob
+    # (or silently become 0-d device arrays).
+    _KINDS = "fiubV"
+
+    def _packable(l):
+        if isinstance(l, np.ndarray):
+            return l.dtype.kind in _KINDS
+        return np.isscalar(l) and np.asarray(l).dtype.kind in _KINDS
+
     host = [
-        (i, np.asarray(l)) for i, l in enumerate(leaves)
-        if isinstance(l, np.ndarray) or np.isscalar(l)
+        (i, np.asarray(l)) for i, l in enumerate(leaves) if _packable(l)
     ]
     if not host:
         return tree
@@ -116,16 +126,19 @@ def export_serving(
     batch: int,
     compute_dtype,
     platforms: Optional[Sequence[str]] = None,
+    payload: str = "full",
 ):
     """Lower the serving graph for one batch bucket into a
     `jax.export.Exported`. ``platforms`` allows cross-lowering (e.g.
-    export for "tpu" from a CPU host); None targets the default backend."""
+    export for "tpu" from a CPU host); None targets the default backend.
+    ``payload`` selects the readback shape ("full" soft masks vs "best"
+    uint8 selected mask — see predictor.build_serving_forward)."""
     import jax
     from jax import export as jexport
 
     from s3od_tpu.predictor import build_serving_forward
 
-    fn = build_serving_forward(cfg, compute_dtype)
+    fn = build_serving_forward(cfg, compute_dtype, payload=payload)
     abstract = jax.tree.map(
         lambda t: jax.ShapeDtypeStruct(np.shape(t), t.dtype), (params, state)
     )
@@ -142,7 +155,7 @@ class ServingBundle:
     state: Optional[dict]
     cfg: object
     meta: dict
-    exported: Dict[int, object]  # batch -> jax.export.Exported
+    exported: Dict[tuple, object]  # (batch, payload) -> jax.export.Exported
 
 
 def save_serving_bundle(
@@ -152,6 +165,7 @@ def save_serving_bundle(
     dtype: str = "bfloat16",
     platforms: Optional[Sequence[str]] = None,
     fold_bn: bool = True,
+    payloads: Sequence[str] = ("full", "best"),
 ) -> Path:
     """Prepare the serving tree and export one graph per batch bucket.
 
@@ -190,14 +204,21 @@ def save_serving_bundle(
     from jax import export as jexport
 
     exported_batches = []
-    for b in batches:
-        exp = export_serving(
-            params, state, cfg,
-            image_size=image_size, batch=b, compute_dtype=compute_dtype,
-            platforms=platforms,
-        )
-        (out / f"serving_b{b}.jaxexport").write_bytes(exp.serialize())
-        exported_batches.append(b)
+    payload_map: Dict[str, list] = {}
+    for payload in payloads:
+        for b in batches:
+            exp = export_serving(
+                params, state, cfg,
+                image_size=image_size, batch=b, compute_dtype=compute_dtype,
+                platforms=platforms, payload=payload,
+            )
+            suffix = "" if payload == "full" else f".{payload}"
+            (out / f"serving_b{b}{suffix}.jaxexport").write_bytes(
+                exp.serialize()
+            )
+            payload_map.setdefault(payload, []).append(b)
+            if payload == "full":
+                exported_batches.append(b)
 
     meta = {
         "format": "s3od_tpu.serving_bundle.v1",
@@ -205,7 +226,8 @@ def save_serving_bundle(
         "use_bn": cfg.use_bn,  # False once fold_bn ran (state is None then)
         "image_size": image_size,
         "dtype": dtype,
-        "batches": exported_batches,
+        "batches": exported_batches,  # "full" graphs (back-compat key)
+        "payloads": payload_map,
         "platforms": list(platforms) if platforms else None,
     }
     (out / "meta.json").write_text(json.dumps(meta, indent=2))
@@ -239,9 +261,12 @@ def load_serving_bundle(path) -> ServingBundle:
             params,
         )
     exported = {}
-    for b in meta["batches"]:
-        data = (p / f"serving_b{b}.jaxexport").read_bytes()
-        exported[b] = jexport.deserialize(bytearray(data))
+    payload_map = meta.get("payloads") or {"full": meta["batches"]}
+    for payload, bs in payload_map.items():
+        suffix = "" if payload == "full" else f".{payload}"
+        for b in bs:
+            data = (p / f"serving_b{b}{suffix}.jaxexport").read_bytes()
+            exported[(b, payload)] = jexport.deserialize(bytearray(data))
     return ServingBundle(params, state, cfg, meta, exported)
 
 
@@ -259,11 +284,17 @@ def verify_bundle(
     compute_dtype = (
         jnp.bfloat16 if bundle.meta["dtype"] == "bfloat16" else jnp.float32
     )
-    ref_fn = build_serving_forward(bundle.cfg, compute_dtype)
+    ref_fns = {
+        payload: build_serving_forward(
+            bundle.cfg, compute_dtype, payload=payload
+        )
+        for payload in {p for _, p in bundle.exported}
+    }
     size = bundle.meta["image_size"]
     rng = np.random.default_rng(0)
     worst = 0.0
-    for b, exp in bundle.exported.items():
+    for (b, payload), exp in bundle.exported.items():
+        ref_fn = ref_fns[payload]
         for _ in range(n):
             imgs = rng.integers(0, 255, (b, size, size, 3), dtype=np.uint8)
             got_m, got_i = exp.call(bundle.params, bundle.state, imgs)

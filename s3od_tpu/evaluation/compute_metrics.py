@@ -105,7 +105,11 @@ def process_dataset(
         loaded = [(p, im) for p, im in loaded if im is not None]
         t0 = time.perf_counter()
         results = predictor.predict_batch([im for _, im in loaded])
-        if b0 > 0:  # first batch pays the jit compile — not steady-state
+        # Steady-state full batches only: the first batch pays the jit
+        # compile, and a final partial batch retraces at a new shape (a
+        # 20-90 s remote compile would land inside the timed span and
+        # corrupt the reported throughput on arbitrary-sized eval sets).
+        if b0 > 0 and len(loaded) == batch:
             predict_s += time.perf_counter() - t0
             n_predicted += len(loaded)
         for (img_path, _), result in zip(loaded, results):

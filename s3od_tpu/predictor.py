@@ -75,11 +75,22 @@ def prepare_serving_params(
     return params, state, cfg
 
 
-def build_serving_forward(cfg, compute_dtype, convt_up=None):
+def build_serving_forward(cfg, compute_dtype, convt_up=None,
+                          payload: str = "full"):
     """The jitted product serving graph: uint8 NHWC canvas -> (sigmoid
     masks NHWC in the compute dtype, sigmoid ious). The whole normalize ->
     encoder -> DPT head -> sigmoid span is ONE XLA program (reference call
-    stack §3.1). Shared by the predictor, the AOT exporter and bench."""
+    stack §3.1). Shared by the predictor, the AOT exporter and bench.
+
+    ``payload`` controls the device->host readback size (the dominant
+    per-image cost when the device sits behind a network relay):
+    - "full": (B, S, S, n) soft masks in the compute dtype + ious —
+      6 MB/img at 1024² bf16 n=3.
+    - "best": argmax-IoU selection runs ON DEVICE (the product contract,
+      reference `src/s3od/predictor.py:126-130`) and only the selected
+      mask is read back, rounded to uint8 — (B, S, S) u8 + fp32 ious,
+      ~1 MB/img (6x less transfer; quantization error <= 1/510 pre-resize,
+      below the fixture tolerance — tests/test_serving_and_augment.py)."""
     mean = jnp.asarray(IMAGENET_MEAN * 255.0)
     inv_std = jnp.asarray(1.0 / (IMAGENET_STD * 255.0))
     dtype = compute_dtype
@@ -92,11 +103,19 @@ def build_serving_forward(cfg, compute_dtype, convt_up=None):
             training=False, compute_dtype=dtype,
             serving_fast_output=True, convt_up=convt_up,
         )
+        ious = jax.nn.sigmoid(out["pred_iou"])
+        if payload == "best":
+            best = jnp.argmax(ious, axis=-1)  # (B,)
+            logits = jnp.take_along_axis(
+                out["pred_masks"], best[:, None, None, None], axis=-1
+            )[..., 0]  # (B, S, S)
+            mask = jax.nn.sigmoid(logits.astype(jnp.float32))
+            mask_u8 = jnp.round(mask * 255.0).astype(jnp.uint8)
+            return mask_u8, ious.astype(jnp.float32)
         # Masks stay NHWC in the compute dtype (the fp32-NCHW
         # materialization costs ~0.8 ms/img; host transposes a view
         # for free and the fp32 upcast rides the readback).
         masks = jax.nn.sigmoid(out["pred_masks"])  # (B, S, S, n)
-        ious = jax.nn.sigmoid(out["pred_iou"])
         return masks, ious
 
     return run
@@ -163,6 +182,14 @@ class BackgroundRemoval:
             self.params, self.state, self.cfg, self.compute_dtype,
             fold_bn=fold_bn,
         )
+        if compile_cache and jax.default_backend() == "tpu":
+            # Persistent XLA compilation cache: fresh processes skip the
+            # 20-90 s per-program remote compiles on warm entries. Enabled
+            # BEFORE the packed upload below so its jitted unpack program
+            # is itself cacheable.
+            from s3od_tpu.aot import enable_compilation_cache
+
+            enable_compilation_cache()
         if jax.default_backend() == "tpu":
             # One packed transfer instead of ~300 per-leaf RPCs through
             # the relay — the dominant cold-start term (s3od_tpu/aot.py).
@@ -179,12 +206,6 @@ class BackgroundRemoval:
         # (populated by from_serving_bundle).
         self._aot: Dict[int, Any] = {}
         self._aot_canvas: Optional[int] = None
-        if compile_cache and jax.default_backend() == "tpu":
-            # Persistent XLA compilation cache: fresh processes skip the
-            # 20-90 s per-program remote compiles on warm entries.
-            from s3od_tpu.aot import enable_compilation_cache
-
-            enable_compilation_cache()
 
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs) -> "BackgroundRemoval":
@@ -213,6 +234,15 @@ class BackgroundRemoval:
         from s3od_tpu.aot import load_serving_bundle
 
         bundle = load_serving_bundle(path)
+        if kwargs.get("dtype") not in (None, bundle.meta["dtype"]):
+            # The bundle's weights and exported graphs are pinned to its
+            # dtype; silently driving bf16 weights through an fp32 jit
+            # graph would produce bf16-precision results.
+            raise ValueError(
+                f"dtype={kwargs['dtype']!r} conflicts with the bundle's "
+                f"dtype={bundle.meta['dtype']!r}; re-export the bundle "
+                "with the desired dtype instead"
+            )
         kwargs.setdefault("dtype", bundle.meta["dtype"])
         kwargs.setdefault("image_size", bundle.meta["image_size"])
         # The bundle tree is already prepared (BN folded, cast, qkv
@@ -268,18 +298,21 @@ class BackgroundRemoval:
     # Compiled forward
     # ------------------------------------------------------------------
 
-    def _forward_fn(self, canvas: int, convt_up: Optional[bool] = None):
-        key = (canvas, self.compute_dtype, convt_up)
+    def _forward_fn(self, canvas: int, convt_up: Optional[bool] = None,
+                    payload: str = "full"):
+        key = (canvas, self.compute_dtype, convt_up, payload)
         if key not in self._jit_cache:
-            run = build_serving_forward(self.cfg, self.compute_dtype, convt_up)
+            run = build_serving_forward(
+                self.cfg, self.compute_dtype, convt_up, payload
+            )
             if self._aot and convt_up is None and canvas == self._aot_canvas:
                 jit_run, aot = run, self._aot
 
                 def run(params, state, images_u8):
                     # AOT fast path: a pre-exported graph for this batch
-                    # size skips tracing entirely (cold-start); unknown
-                    # batches fall back to jit.
-                    exp = aot.get(int(images_u8.shape[0]))
+                    # size + payload skips tracing entirely (cold-start);
+                    # unknown batches fall back to jit.
+                    exp = aot.get((int(images_u8.shape[0]), payload))
                     if exp is not None:
                         return exp.call(params, state, images_u8)
                     return jit_run(params, state, images_u8)
@@ -295,6 +328,60 @@ class BackgroundRemoval:
         pad_info = get_pad_info(image, self.image_size)
         resized = _resize_image(image, pad_info["resized_size"])
         return place_on_canvas(resized, self.image_size, pad_info), pad_info
+
+    # ------------------------------------------------------------------
+    # Bucketed upload: send only the letterboxed image (height/width
+    # rounded up to a granule), complete the zero canvas ON DEVICE.
+    # Saves ~28% of host->device bytes on real aspect ratios — decisive
+    # when the device sits behind a ~30 MB/s relay link where the stream
+    # is upload-bound (benchmarks/exp_upload_path.py).
+    # ------------------------------------------------------------------
+
+    def _bucket_preprocess(
+        self, image: np.ndarray
+    ) -> Tuple[np.ndarray, Tuple[int, int], Dict[str, Any]]:
+        """Resize + pack into the smallest granule-aligned buffer.
+
+        The buffer holds the resized image at an inner offset chosen so
+        that placing the WHOLE buffer at the (clamped) outer offset
+        reproduces the exact centered letterbox canvas — bit-identical to
+        place_on_canvas (tests/test_serving_and_augment.py)."""
+        S = self.image_size
+        pad_info = get_pad_info(image, S)
+        resized = _resize_image(image, pad_info["resized_size"])
+        g = max(32, S // 8)
+        rh, rw = resized.shape[:2]
+        bh = min(S, -(-rh // g) * g)
+        bw = min(S, -(-rw // g) * g)
+        top, left = pad_info["height_pad"], pad_info["width_pad"]
+        outer_t, outer_l = min(top, S - bh), min(left, S - bw)
+        buf = np.zeros((bh, bw, 3), np.uint8)
+        it, il = top - outer_t, left - outer_l
+        buf[it : it + rh, il : il + rw] = resized
+        return buf, (outer_t, outer_l), pad_info
+
+    def _place_fn(self):
+        """Jitted bucket->canvas placement; jax.jit caches one executable
+        per bucket shape (offsets are traced scalars, not shapes)."""
+        key = ("place", self.image_size)
+        if key not in self._jit_cache:
+            S = self.image_size
+
+            @jax.jit
+            def place(buf, tl):
+                canvas = jnp.zeros((S, S, 3), jnp.uint8)
+                return jax.lax.dynamic_update_slice(
+                    canvas, buf, (tl[0], tl[1], 0)
+                )
+
+            self._jit_cache[key] = place
+        return self._jit_cache[key]
+
+    def _stack_fn(self):
+        key = "stack"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(lambda cs: jnp.stack(cs))
+        return self._jit_cache[key]
 
     @staticmethod
     def _postprocess(image: np.ndarray, pad_info, masks_nc: np.ndarray,
@@ -320,20 +407,51 @@ class BackgroundRemoval:
             rgba_image=Image.fromarray(np.dstack([image, alpha]), mode="RGBA"),
         )
 
+    @staticmethod
+    def _postprocess_best(image: np.ndarray, pad_info, mask_u8: np.ndarray,
+                          ious: np.ndarray) -> RemovalResult:
+        """Reduced-payload epilogue: the device already selected the
+        argmax-IoU mask and quantized it to uint8 (payload="best");
+        only unpad -> antialiased resize -> RGBA remain. ``all_masks``
+        carries just the selected mask (shape (1, H, W)); ``all_ious``
+        is still the full vector so selection is reconstructible."""
+        mask = mask_u8.astype(np.float32) * (1.0 / 255.0)  # (S, S)
+        unpadded = remove_padding(mask[None], pad_info)
+        m = np.clip(
+            resize_bilinear_numpy(
+                unpadded, pad_info["original_size"], antialias=True,
+                h_axis=1, w_axis=2,
+            ),
+            0.0,
+            1.0,
+        )
+        alpha = (m[0] * 255).astype(np.uint8)
+        return RemovalResult(
+            predicted_mask=m[0],
+            all_masks=m,
+            all_ious=ious,
+            rgba_image=Image.fromarray(np.dstack([image, alpha]), mode="RGBA"),
+        )
+
     def remove_background(
         self,
         image: Union[np.ndarray, Image.Image],
         threshold: float = 0.5,
+        payload: str = "full",
     ) -> RemovalResult:
         image = self._as_rgb_uint8(image)
         padded, pad_info = self._preprocess(image)
-        masks, ious = self._forward_fn(self.image_size)(
+        out, ious = self._forward_fn(self.image_size, payload=payload)(
             self.params, self.state, jnp.asarray(padded[None])
         )
-        masks = np.moveaxis(
-            np.asarray(masks[0]).astype(np.float32), -1, 0
-        )  # (n, S, S)
         all_ious = np.asarray(ious[0], dtype=np.float32)
+        if payload == "best":
+            return self._postprocess_best(
+                image, pad_info, np.asarray(out[0]), all_ious
+            )
+        masks = np.moveaxis(
+            np.asarray(out[0]).astype(np.float32), -1, 0
+        )  # (n, S, S)
         return self._postprocess(image, pad_info, masks, all_ious)
 
     def remove_background_stream(
@@ -344,6 +462,8 @@ class BackgroundRemoval:
         post_workers: int = 2,
         pre_workers: int = 2,
         batch: int = 1,
+        payload: str = "full",
+        upload: Optional[str] = None,
     ):
         """Pipelined product-path inference: yields `RemovalResult`s in order
         while overlapping host preprocess, device compute and host
@@ -363,11 +483,26 @@ class BackgroundRemoval:
         are grouped into `batch`-sized device steps (batch 16 is the v5e
         sweet spot — 20.0 vs 22.7 ms/img at batch 1, exp_batch16.py); the
         stream's final partial group pads up to `batch` and discards the
-        pad outputs, keeping one compiled shape."""
+        pad outputs, keeping one compiled shape.
+
+        `payload="best"` reads back only the device-selected uint8 best
+        mask (~6x less device->host traffic — decisive over a network
+        relay); results then carry a single-entry ``all_masks``.
+
+        `upload="bucket"` (the default on TPU) uploads only the
+        granule-rounded letterboxed image and completes the zero canvas
+        on device (~28% less host->device traffic on real aspect
+        ratios); "canvas" uploads the full padded canvas. Each new
+        bucket shape compiles a tiny placement program once (persisted
+        in the compilation cache)."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        fn = self._forward_fn(self.image_size)
+        if upload is None:
+            upload = "bucket" if jax.default_backend() == "tpu" else "canvas"
+        fn = self._forward_fn(self.image_size, payload=payload)
+        place = self._place_fn() if upload == "bucket" else None
+        stack_fn = self._stack_fn() if upload == "bucket" else None
 
         def launch(group):
             if not isinstance(group, list):
@@ -375,22 +510,41 @@ class BackgroundRemoval:
             arrays, infos = [], []
             for image in group:
                 image = self._as_rgb_uint8(image)
-                padded, pad_info = self._preprocess(image)
+                if upload == "bucket":
+                    buf, (t, l), pad_info = self._bucket_preprocess(image)
+                    padded = place(
+                        jnp.asarray(buf), jnp.asarray([t, l], jnp.int32)
+                    )
+                else:
+                    padded, pad_info = self._preprocess(image)
                 arrays.append(image)
                 infos.append((padded, pad_info))
             n = len(arrays)
             stack = [p for p, _ in infos]
             stack += [stack[0]] * (batch - n) if batch > 1 else []
-            masks, ious = fn(self.params, self.state,
-                             jnp.asarray(np.stack(stack)))
+            if upload == "bucket":
+                # canvases are device-resident; stack on device
+                batch_arr = (
+                    stack_fn(stack) if len(stack) > 1 else stack[0][None]
+                )
+            else:
+                batch_arr = jnp.asarray(np.stack(stack))
+            masks, ious = fn(self.params, self.state, batch_arr)
             return arrays, [pi for _, pi in infos], masks, ious
 
         def post(arrays, pad_infos, masks, ious):
             # ONE batched readback per group (per-slice np.asarray would
             # issue 2*batch device->host transfers — costly over the relay).
-            masks_np = np.asarray(masks).astype(np.float32)
             ious_np = np.asarray(ious, dtype=np.float32)
             out = []
+            if payload == "best":
+                masks_u8 = np.asarray(masks)  # (B, S, S) uint8
+                for j, (image, pad_info) in enumerate(zip(arrays, pad_infos)):
+                    out.append(self._postprocess_best(
+                        image, pad_info, masks_u8[j], ious_np[j]
+                    ))
+                return out
+            masks_np = np.asarray(masks).astype(np.float32)
             for j, (image, pad_info) in enumerate(zip(arrays, pad_infos)):
                 m = np.moveaxis(masks_np[j], -1, 0)
                 out.append(self._postprocess(image, pad_info, m, ious_np[j]))
@@ -446,6 +600,7 @@ class BackgroundRemoval:
         images: List[Union[np.ndarray, Image.Image]],
         threshold: float = 0.5,
         chunk: Optional[int] = None,
+        payload: str = "full",
     ) -> List[RemovalResult]:
         """Batched inference (not available in the reference): compiled
         steps over fixed-size chunks, host postprocess per image.
@@ -495,16 +650,25 @@ class BackgroundRemoval:
             convt_up = None
             if sharded:
                 convt_up = bucket // n_dev >= 8
-            masks, ious = self._forward_fn(self.image_size, convt_up)(
-                self.params, self.state, batch_j
-            )
-            masks = np.moveaxis(np.asarray(masks).astype(np.float32), -1, 1)
+            masks, ious = self._forward_fn(
+                self.image_size, convt_up, payload=payload
+            )(self.params, self.state, batch_j)
             ious = np.asarray(ious, dtype=np.float32)
-            for j in range(take):
-                results.append(
-                    self._postprocess(
-                        arrays[i + j], pre[i + j][1], masks[j], ious[j]
-                    )
+            if payload == "best":
+                masks_u8 = np.asarray(masks)  # (B, S, S) uint8
+                for j in range(take):
+                    results.append(self._postprocess_best(
+                        arrays[i + j], pre[i + j][1], masks_u8[j], ious[j]
+                    ))
+            else:
+                masks = np.moveaxis(
+                    np.asarray(masks).astype(np.float32), -1, 1
                 )
+                for j in range(take):
+                    results.append(
+                        self._postprocess(
+                            arrays[i + j], pre[i + j][1], masks[j], ious[j]
+                        )
+                    )
             i += take
         return results

@@ -40,10 +40,14 @@ def test_bundle_roundtrip_and_verify(tmp_path, tiny_tree):
     assert (out / "serving_b1.jaxexport").exists()
     assert (out / "serving_b2.jaxexport").exists()
 
+    assert (out / "serving_b1.best.jaxexport").exists()
+
     bundle = load_serving_bundle(out)
     assert bundle.meta["image_size"] == 128
     assert not bundle.cfg.use_bn  # BN was folded at save time
-    assert sorted(bundle.exported) == [1, 2]
+    assert sorted(bundle.exported) == [
+        (1, "best"), (1, "full"), (2, "best"), (2, "full")
+    ]
     worst = verify_bundle(bundle, n=2)
     assert worst < 1e-5
 
@@ -141,8 +145,13 @@ def test_device_put_packed_roundtrip(tiny_tree):
     host_tree["b16"] = np.arange(6, dtype=np.float32).reshape(2, 3).astype(
         ml_dtypes.bfloat16)
     host_tree["dev"] = jnp.ones((3,), jnp.float32)
+    # Non-numeric leaves must pass through UNTOUCHED (not be concatenated
+    # into a numeric blob, not become 0-d device arrays).
+    host_tree["tag"] = "a-string-leaf"
 
     out = device_put_packed(host_tree)
+    assert out["tag"] is host_tree["tag"]
+    del out["tag"], host_tree["tag"]
     ref_l, ref_d = jax.tree.flatten(host_tree)
     got_l, got_d = jax.tree.flatten(out)
     assert ref_d == got_d

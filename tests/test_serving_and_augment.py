@@ -182,6 +182,96 @@ def test_remove_background_stream_batched_matches_single(circle_image):
         np.testing.assert_allclose(res.all_ious, ref.all_ious, atol=1e-6)
 
 
+def test_payload_best_matches_full(circle_image):
+    """Reduced-payload serving (payload="best": on-device argmax-IoU
+    selection + uint8 mask readback, ~6x less device->host traffic) must
+    select the SAME mask as the full path (the product contract,
+    reference `src/s3od/predictor.py:126-130`) and match it to within
+    the uint8 quantization (<= 1/510 pre-resize)."""
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    pred = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+    img, _ = circle_image
+    rng = np.random.default_rng(2)
+    images = [
+        img,
+        (rng.random((90, 130, 3)) * 255).astype(np.uint8),
+        (rng.random((140, 100, 3)) * 255).astype(np.uint8),
+    ]
+    for im in images:
+        ref = pred.remove_background(im)
+        fast = pred.remove_background(im, payload="best")
+        # identical selection: full ious come back in both modes
+        np.testing.assert_allclose(fast.all_ious, ref.all_ious, atol=1e-6)
+        assert fast.all_masks.shape[0] == 1  # best-only payload
+        assert fast.predicted_mask.shape == ref.predicted_mask.shape
+        # uint8 quantization on the canvas + antialiased resize
+        np.testing.assert_allclose(
+            fast.predicted_mask, ref.predicted_mask, atol=3e-3
+        )
+        # alpha channels agree to within the quantization step
+        a_ref = np.asarray(ref.rgba_image)[..., 3].astype(np.int16)
+        a_fast = np.asarray(fast.rgba_image)[..., 3].astype(np.int16)
+        assert np.abs(a_ref - a_fast).max() <= 1
+
+    # stream + batch variants agree with the single-shot fast path
+    streamed = list(pred.remove_background_stream(
+        images, depth=2, batch=2, payload="best"
+    ))
+    batched = pred.remove_background_batch(images, chunk=2, payload="best")
+    assert len(streamed) == len(batched) == len(images)
+    for im, s, b in zip(images, streamed, batched):
+        one = pred.remove_background(im, payload="best")
+        np.testing.assert_allclose(s.predicted_mask, one.predicted_mask,
+                                   atol=1e-6)
+        np.testing.assert_allclose(b.predicted_mask, one.predicted_mask,
+                                   atol=1e-6)
+        np.testing.assert_allclose(s.all_ious, one.all_ious, atol=1e-6)
+
+
+def test_bucket_upload_matches_canvas(circle_image):
+    """Bucketed upload (granule-rounded letterbox buffer + on-device
+    canvas completion) must reproduce the host-canvas path bit-exactly
+    for every letterbox geometry (wide/tall/near-square/odd pads)."""
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    pred = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+    img, _ = circle_image
+    rng = np.random.default_rng(3)
+    images = [
+        img,
+        (rng.random((90, 130, 3)) * 255).astype(np.uint8),   # wide, odd pad
+        (rng.random((140, 100, 3)) * 255).astype(np.uint8),  # tall
+        (rng.random((127, 128, 3)) * 255).astype(np.uint8),  # near-square
+        (rng.random((64, 64, 3)) * 255).astype(np.uint8),    # square
+    ]
+    # the underlying canvases must be IDENTICAL
+    for im in images:
+        im8 = pred._as_rgb_uint8(im)
+        canvas, _ = pred._preprocess(im8)
+        buf, (t, l), _ = pred._bucket_preprocess(im8)
+        placed = np.asarray(pred._place_fn()(
+            jnp.asarray(buf), jnp.asarray([t, l], jnp.int32)
+        ))
+        np.testing.assert_array_equal(placed, canvas)
+
+    # same batch grouping on both sides: the comparison isolates the
+    # upload path (batch size changes XLA fusion at the 1e-7 level)
+    ref = list(pred.remove_background_stream(
+        images, upload="canvas", batch=2
+    ))
+    got = list(pred.remove_background_stream(
+        images, upload="bucket", batch=2
+    ))
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(g.predicted_mask, r.predicted_mask)
+        np.testing.assert_array_equal(g.all_ious, r.all_ious)
+
+
 def test_server_stop_fails_queued_requests():
     """stop() must resolve still-queued futures with an error instead of
     leaving blocked submit() callers deadlocked."""
