@@ -87,23 +87,25 @@ class FlowMatchSchedule:
 
 
 def pack_latents(latents):
-    """(B, H, W, C) VAE latents -> (B, H/2*W/2, 4C) 2x2-packed tokens."""
-    import jax.numpy as jnp
+    """(B, H, W, C) VAE latents -> (B, H/2*W/2, 4C) 2x2-packed tokens.
 
+    Packed-channel ordering is diffusers' (`FluxPipeline._pack_latents`:
+    permute to (..., C, 2, 2) then flatten -> index ch*4 + dy*2 + dx), so
+    converted real FLUX weights (x_embedder rows / proj_out columns)
+    consume our packed tokens unchanged — pinned by
+    tests/test_vae_oracle.py::test_pack_latents_matches_diffusers."""
     b, h, w, c = latents.shape
     x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (b, h/2, w/2, c, 2, 2)
     return x.reshape(b, (h // 2) * (w // 2), 4 * c)
 
 
 def unpack_latents(tokens, h: int, w: int):
     """Inverse of pack_latents; h, w are the UNPACKED latent dims."""
-    import jax.numpy as jnp
-
     b, n, c4 = tokens.shape
     c = c4 // 4
-    x = tokens.reshape(b, h // 2, w // 2, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = tokens.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, h/2, 2, w/2, 2, c)
     return x.reshape(b, h, w, c)
 
 

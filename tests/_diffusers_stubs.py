@@ -318,6 +318,204 @@ class FluxTransformer2DModel(nn.Module):
         self.config = types.SimpleNamespace(**kwargs)
 
 
+# --- AutoencoderKL (VAE) -----------------------------------------------------
+# Faithful torch reimplementation of diffusers' AutoencoderKL as configured
+# by FLUX (use_quant_conv=False, use_post_quant_conv=False, 16 latent
+# channels) — the module the reference loads via
+# `AutoencoderKL.from_pretrained` in `data_generation/pipeline.py:58-88`.
+# State-dict key layout matches diffusers exactly so the repo's
+# convert_diffusers_vae consumes it unchanged.
+
+
+class _VaeResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D (temb-less VAE variant): GN(eps 1e-6) ->
+    silu -> conv3x3, twice; 1x1 conv_shortcut when channels change."""
+
+    def __init__(self, cin, cout, groups):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, cin, eps=1e-6)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(groups, cout, eps=1e-6)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = (
+            nn.Conv2d(cin, cout, 1) if cin != cout else None
+        )
+
+    def forward(self, x):
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class _VaeAttention(nn.Module):
+    """diffusers Attention as used in the VAE mid block: GroupNorm, single
+    head over all channels (attention_head_dim = channels), spatial tokens,
+    residual add."""
+
+    def __init__(self, channels, groups):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(groups, channels, eps=1e-6)
+        self.to_q = nn.Linear(channels, channels)
+        self.to_k = nn.Linear(channels, channels)
+        self.to_v = nn.Linear(channels, channels)
+        self.to_out = nn.ModuleList(
+            [nn.Linear(channels, channels), nn.Dropout(0.0)]
+        )
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        res = x
+        t = self.group_norm(x).view(b, c, h * w).transpose(1, 2)
+        q, k, v = self.to_q(t), self.to_k(t), self.to_v(t)
+        attn = torch.nn.functional.scaled_dot_product_attention(
+            q[:, None], k[:, None], v[:, None]
+        )[:, 0]
+        out = self.to_out[0](attn)
+        return res + out.transpose(1, 2).view(b, c, h, w)
+
+
+class _VaeDownBlock(nn.Module):
+    """DownEncoderBlock2D: N resnets, then (except the last stage) a
+    stride-2 conv downsampler with asymmetric (0,1,0,1) padding."""
+
+    def __init__(self, cin, cout, layers, groups, add_downsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [_VaeResnetBlock2D(cin if i == 0 else cout, cout, groups)
+             for i in range(layers)]
+        )
+        if add_downsample:
+            down = nn.Module()
+            down.conv = nn.Conv2d(cout, cout, 3, stride=2, padding=0)
+            self.downsamplers = nn.ModuleList([down])
+        else:
+            self.downsamplers = None
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if self.downsamplers is not None:
+            x = torch.nn.functional.pad(x, (0, 1, 0, 1))
+            x = self.downsamplers[0].conv(x)
+        return x
+
+
+class _VaeUpBlock(nn.Module):
+    """UpDecoderBlock2D: N+1 resnets, then (except the last stage) a
+    nearest-2x upsample + conv."""
+
+    def __init__(self, cin, cout, layers, groups, add_upsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [_VaeResnetBlock2D(cin if i == 0 else cout, cout, groups)
+             for i in range(layers + 1)]
+        )
+        if add_upsample:
+            up = nn.Module()
+            up.conv = nn.Conv2d(cout, cout, 3, padding=1)
+            self.upsamplers = nn.ModuleList([up])
+        else:
+            self.upsamplers = None
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if self.upsamplers is not None:
+            x = torch.nn.functional.interpolate(x, scale_factor=2.0,
+                                                mode="nearest")
+            x = self.upsamplers[0].conv(x)
+        return x
+
+
+class _VaeMidBlock(nn.Module):
+    def __init__(self, channels, groups):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [_VaeResnetBlock2D(channels, channels, groups),
+             _VaeResnetBlock2D(channels, channels, groups)]
+        )
+        self.attentions = nn.ModuleList([_VaeAttention(channels, groups)])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class _VaeEncoder(nn.Module):
+    def __init__(self, block_out, latent, layers, groups):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, block_out[0], 3, padding=1)
+        self.down_blocks = nn.ModuleList()
+        cin = block_out[0]
+        for i, cout in enumerate(block_out):
+            self.down_blocks.append(_VaeDownBlock(
+                cin, cout, layers, groups,
+                add_downsample=i < len(block_out) - 1,
+            ))
+            cin = cout
+        self.mid_block = _VaeMidBlock(block_out[-1], groups)
+        self.conv_norm_out = nn.GroupNorm(groups, block_out[-1], eps=1e-6)
+        self.conv_out = nn.Conv2d(block_out[-1], 2 * latent, 3, padding=1)
+
+    def forward(self, x):
+        x = self.conv_in(x)
+        for b in self.down_blocks:
+            x = b(x)
+        x = self.mid_block(x)
+        x = torch.nn.functional.silu(self.conv_norm_out(x))
+        return self.conv_out(x)  # moments: [mean, logvar] over channels
+
+
+class _VaeDecoder(nn.Module):
+    def __init__(self, block_out, latent, layers, groups):
+        super().__init__()
+        rev = list(reversed(block_out))
+        self.conv_in = nn.Conv2d(latent, rev[0], 3, padding=1)
+        self.mid_block = _VaeMidBlock(rev[0], groups)
+        self.up_blocks = nn.ModuleList()
+        cin = rev[0]
+        for i, cout in enumerate(rev):
+            self.up_blocks.append(_VaeUpBlock(
+                cin, cout, layers, groups,
+                add_upsample=i < len(rev) - 1,
+            ))
+            cin = cout
+        self.conv_norm_out = nn.GroupNorm(groups, rev[-1], eps=1e-6)
+        self.conv_out = nn.Conv2d(rev[-1], 3, 3, padding=1)
+
+    def forward(self, z):
+        x = self.conv_in(z)
+        x = self.mid_block(x)
+        for b in self.up_blocks:
+            x = b(x)
+        x = torch.nn.functional.silu(self.conv_norm_out(x))
+        return self.conv_out(x)
+
+
+class AutoencoderKL(nn.Module):
+    """FLUX-config AutoencoderKL (no quant convs). `encode_mean` returns
+    the DiagonalGaussianDistribution mode (= mean half of the moments)."""
+
+    def __init__(self, block_out_channels=(128, 256, 512, 512),
+                 latent_channels=16, layers_per_block=2, norm_num_groups=32):
+        super().__init__()
+        self.encoder = _VaeEncoder(block_out_channels, latent_channels,
+                                   layers_per_block, norm_num_groups)
+        self.decoder = _VaeDecoder(block_out_channels, latent_channels,
+                                   layers_per_block, norm_num_groups)
+        self.latent_channels = latent_channels
+
+    def encode_mean(self, x):
+        moments = self.encoder(x)
+        return moments[:, : self.latent_channels]
+
+    def decode(self, z):
+        return self.decoder(z)
+
+
 class BaseOutput(dict):
     def __init__(self, **kwargs):
         super().__init__(kwargs)
