@@ -89,10 +89,18 @@ DINOV3_LARGE = dataclasses.replace(
     intermediate_size=4096,
 )
 
+# CI/smoke-scale encoder (model=tiny config group): real architecture at
+# toy width so the full train()/predict stack runs in seconds on CPU.
+DINOV3_TINY = dataclasses.replace(
+    DINOV3_BASE, hidden_size=64, num_layers=4, num_heads=2,
+    intermediate_size=128,
+)
+
 ENCODER_CONFIGS = {
     "dinov3_base": DINOV3_BASE,
     "dinov3_small": DINOV3_SMALL,
     "dinov3_large": DINOV3_LARGE,
+    "dinov3_tiny": DINOV3_TINY,
 }
 
 # Intermediate tap layers per encoder (`src/s3od/model.py:36-40`).
@@ -100,6 +108,13 @@ TAP_LAYERS = {
     "dinov3_base": (2, 5, 8, 11),
     "dinov3_small": (2, 5, 8, 11),
     "dinov3_large": (4, 11, 17, 23),
+    "dinov3_tiny": (1, 2, 3, 4),
+}
+
+# Smaller DPT neck for the tiny encoder (default is the reference's
+# (256, 512, 1024, 1024), `src/s3od/model.py:45`).
+NECK_CHANNELS = {
+    "dinov3_tiny": (32, 64, 128, 128),
 }
 
 
@@ -110,6 +125,10 @@ def segmentation_config(
     use_bn: bool = True,
     use_clstoken: bool = False,
 ) -> SegmentationConfig:
+    kwargs = {}
+    if encoder_name in NECK_CHANNELS:
+        kwargs["neck_channels"] = NECK_CHANNELS[encoder_name]
+        kwargs["mask_inter_features"] = 8
     return SegmentationConfig(
         encoder=ENCODER_CONFIGS[encoder_name],
         tap_layers=TAP_LAYERS[encoder_name],
@@ -117,6 +136,7 @@ def segmentation_config(
         features=features,
         use_bn=use_bn,
         use_clstoken=use_clstoken,
+        **kwargs,
     )
 
 
