@@ -74,6 +74,26 @@ def mse_loss(pred, target):
     return jnp.mean(_flatten((pred - target) ** 2), axis=1)
 
 
+def rank_ious_loss(pred_scores, gt):
+    """Pairwise logistic ranking loss over per-image mask scores (B, N).
+
+    No reference analog: the reference trains the IoU head only with a
+    weight-0.05 MSE (`loss.py:265-272`), which calibrates *values* but
+    leaves the *ranking* — the only thing the product's argmax selection
+    (`src/s3od/predictor.py:126-130`) consumes — under-trained in
+    from-scratch regimes (r2/r3 finding: selected IoU 0.55-0.59 vs oracle
+    best 0.86-0.91). For every ordered pair with gt_i > gt_j the loss is
+    softplus(s_j - s_i) weighted by the gt gap, so the head is pushed to
+    order masks correctly exactly in proportion to how much the ordering
+    matters. Operates on raw logits (scale-free); use add_sigmoid=False.
+    """
+    ds = pred_scores[:, :, None] - pred_scores[:, None, :]  # s_i - s_j
+    dg = gt[:, :, None] - gt[:, None, :]  # g_i - g_j
+    pair = jnp.maximum(dg, 0.0) * jax.nn.softplus(-ds)
+    n = pred_scores.shape[1]
+    return jnp.sum(pair, axis=(1, 2)) * (2.0 / (n * (n - 1)))
+
+
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(size) - size // 2
     g = np.exp(-(x**2) / (2 * sigma**2))
@@ -118,6 +138,7 @@ LOSS_FNS: Dict[str, Callable] = {
     "bce": bce_loss,
     "ssim": ssim_loss,
     "mse": mse_loss,
+    "rank": rank_ious_loss,
 }
 
 
@@ -180,7 +201,26 @@ BCE_IOU_SSIM = dict(
     decay_rate=0.2,
 )
 
-LOSS_PRESETS = {"focal_iou": FOCAL_IOU, "bce_iou_ssim": BCE_IOU_SSIM}
+# Our addition (no reference analog): focal_iou plus the pairwise ranking
+# term on the IoU head — the from-scratch selection-regression fix
+# (benchmarks/exp_iou_selection.py receipts). The reference presets above
+# stay byte-faithful for checkpoint parity.
+FOCAL_IOU_RANK = dict(
+    criterions=[
+        *[dict(c) for c in FOCAL_IOU["criterions"]],
+        dict(name="rank_ious_loss", target_key="gt_ious",
+             output_key="pred_iou", weight=1.0, kind="rank",
+             add_sigmoid=False),
+    ],
+    full_mask_lambda=0.1,
+    decay_rate=0.2,
+)
+
+LOSS_PRESETS = {
+    "focal_iou": FOCAL_IOU,
+    "bce_iou_ssim": BCE_IOU_SSIM,
+    "focal_iou_rank": FOCAL_IOU_RANK,
+}
 
 
 def _squared_iou(pred, target, smooth: float = 1e-6):

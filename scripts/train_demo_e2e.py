@@ -61,6 +61,11 @@ def main():
                          "head is the slowest-learning component from "
                          "scratch (holdout selection lags best-mask IoU); "
                          "a larger weight speeds up mask selection.")
+    ap.add_argument("--rank-weight", type=float, default=None,
+                    help="append the pairwise IoU-ranking criterion at "
+                         "this weight (the r4 selection-head fix: "
+                         "benchmarks/exp_iou_selection.py — selection gap "
+                         "0.020 -> 0.006 at tiny scale)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (mechanics dry-run)")
     ap.add_argument("--checkpoint-path", default=None,
@@ -137,6 +142,9 @@ def main():
     ) + (
         [f"loss.weights.mse_ious_loss={args.iou_mse_weight}"]
         if args.iou_mse_weight is not None else []
+    ) + (
+        [f"loss.rank_weight={args.rank_weight}"]
+        if args.rank_weight is not None else []
     ))
     print("final metrics:", json.dumps(metrics, indent=None, default=float))
 
@@ -162,18 +170,27 @@ def main():
 
     br = BackgroundRemoval(model_id=str(final_npz), image_size=args.image_size)
     img_paths = sorted((data_dir / "demo" / "images").glob("*.png"))[-8:]
-    ious = []
+    ious, best_ious = [], []
     for p in img_paths:
         res = br.remove_background(Image.open(p))
         gt = np.asarray(
             Image.open(str(p).replace("/images/", "/masks/")).convert("L")
         ) > 128
-        pred = res.predicted_mask > 0.5
-        inter = (pred & gt).sum()
-        union = (pred | gt).sum()
-        ious.append(inter / max(union, 1))
+
+        def _iou(mask):
+            pred = mask > 0.5
+            inter = (pred & gt).sum()
+            return inter / max((pred | gt).sum(), 1)
+
+        ious.append(_iou(res.predicted_mask))
+        # Oracle best mask: the selection-head quality ceiling — the gap
+        # to `ious` IS the product selection regression (VERDICT r2/r3).
+        best_ious.append(max(_iou(m) for m in res.all_masks))
     mean_iou = float(np.mean(ious))
-    print(f"BackgroundRemoval on 8 held-back images: mean IoU {mean_iou:.3f}")
+    mean_best = float(np.mean(best_ious))
+    sel_gap = mean_best - mean_iou
+    print(f"BackgroundRemoval on 8 held-back images: mean IoU {mean_iou:.3f} "
+          f"(oracle best {mean_best:.3f}, selection gap {sel_gap:.3f})")
 
     # Offline eval CLI (the reference's compute_metrics path).
     from s3od_tpu.evaluation.compute_metrics import evaluate_datasets
@@ -188,8 +205,14 @@ def main():
     print("eval CLI:", json.dumps(results, default=float))
 
     ok = metrics.get("val_dice", 0.0) > 0.5 and mean_iou > 0.5
+    if args.rank_weight is not None:
+        # Selection-quality loop closure (VERDICT r3 next #3): with the
+        # ranking criterion on, the argmax-selected holdout IoU must sit
+        # close to the oracle best mask.
+        ok = ok and sel_gap <= 0.05
     print("DEMO", "OK" if ok else "WEAK", json.dumps(
-        {"val_dice": metrics.get("val_dice"), "holdout_iou": mean_iou},
+        {"val_dice": metrics.get("val_dice"), "holdout_iou": mean_iou,
+         "holdout_best_iou": mean_best, "selection_gap": sel_gap},
         default=float,
     ))
     sys.exit(0 if ok else 1)
