@@ -558,3 +558,59 @@ class PrefetchLoader:
                 yield item
         finally:
             stop.set()
+
+
+def device_prefetch(iterator, put_fn, depth: int = 2):
+    """Overlap host->device upload (and any pre-step dispatch) with device
+    compute: a worker thread pulls host batches from ``iterator``, runs
+    ``put_fn(step_index, batch)`` (typically shard_batch + augmentation
+    dispatch), and keeps up to ``depth`` device-resident batches queued
+    ahead of the consumer.
+
+    The reference overlaps host work via DataLoader workers
+    (`model_training/dataset.py:403-423`) but still uploads synchronously
+    inside the step; under a network-attached device (the axon relay) the
+    upload is the dominant per-step host cost, so it must overlap too —
+    r3 measured 5.1 s/step wall against a ~0.4 s device step at 1024px.
+
+    Yields (step_index, device_batch) in order. JAX dispatch is
+    thread-safe; uploads from the worker interleave with the main
+    thread's step dispatches on the in-order stream.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        sentinel = None
+        try:
+            for i, batch in enumerate(iterator):
+                if stop.is_set():
+                    return
+                item = (i, put_fn(i, batch))
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — surfaced in consumer
+            sentinel = e
+        while not stop.is_set():
+            try:
+                q.put(sentinel, timeout=0.5)
+                break
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -52,6 +52,15 @@ def _compose_loss_config(loss_cfg) -> Dict:
     for key in ("full_mask_lambda", "decay_rate"):
         if key in loss_cfg:
             composed[key] = float(loss_cfg[key])
+    # `loss.rank_weight=N`: append the pairwise IoU-ranking criterion to
+    # any preset (the from-scratch selection-head fix; see
+    # LOSS_PRESETS["focal_iou_rank"] and benchmarks/exp_iou_selection.py).
+    if "rank_weight" in loss_cfg:
+        composed["criterions"].append(dict(
+            name="rank_ious_loss", target_key="gt_ious",
+            output_key="pred_iou", weight=float(loss_cfg["rank_weight"]),
+            kind="rank", add_sigmoid=False,
+        ))
     weights = loss_cfg.get("weights") or {}
     unknown = set(weights) - {c["name"] for c in composed["criterions"]}
     if unknown:
@@ -394,16 +403,32 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     max_epochs = int(cfg.backend.max_epochs)
     final_metrics: Dict[str, float] = {}
 
+    from s3od_tpu.training.data import device_prefetch
+
+    # One jitted program for the per-step metric accumulation: the naive
+    # per-key jnp.add issues ~10 tiny dispatches per step (each a relay
+    # RPC under axon).
+    acc_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+    prefetch_depth = max(1, int(cfg.backend.get("device_prefetch", 2)))
+
     for epoch in range(start_epoch, max_epochs):
         # Per-epoch stream derived from (seed, epoch): a resumed run sees
         # the same augmentation randomness a continuous run would, instead
-        # of replaying epochs 0..start-1's stream after restore.
-        rng = jax.random.fold_in(base_rng, epoch)
+        # of replaying epochs 0..start-1's stream after restore. Per-step
+        # keys fold in the step index (not a serial split) so the upload
+        # worker can run ahead of the consumer deterministically.
+        epoch_rng = jax.random.fold_in(base_rng, epoch)
+        step_base = jax.random.fold_in(epoch_rng, 0)
+        aug_base = jax.random.fold_in(epoch_rng, 1)
         t0 = time.time()
         acc = None
         n_steps = 0
-        for batch in train_loader.epoch(epoch):
-            rng, step_rng = jax.random.split(rng)
+
+        def put_fn(i, batch, _aug_base=aug_base):
+            # Runs on the prefetch worker: upload + (optionally) dispatch
+            # the augmentation program for batch i while step i-1 is still
+            # computing (VERDICT r3 weak #4: 5.1 s/step wall vs ~0.4 s
+            # device step — the upload must overlap the device step).
             batch = shard_batch(batch, mesh)
             if aug_fn is not None:
                 # Augment per accumulation micro-slice: the synthetic
@@ -411,24 +436,30 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
                 # batch (4 GB at batch 8 on CPU analysis; the TPU
                 # compile OOMs at the full global batch), and the train
                 # step consumes micro-batches anyway.
+                brng = jax.random.fold_in(_aug_base, i)
                 slices = []
                 n_g = batch["images"].shape[0]
                 micro = max(1, n_g // max(1, accum))
-                for i in range(0, n_g, micro):
-                    rng, aug_rng = jax.random.split(rng)
+                for j, i0 in enumerate(range(0, n_g, micro)):
                     slices.append(aug_fn(
-                        aug_rng,
-                        jax.tree.map(lambda t: t[i:i + micro], batch),
+                        jax.random.fold_in(brng, j),
+                        jax.tree.map(lambda t: t[i0:i0 + micro], batch),
                     ))
                 batch = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs, axis=0), *slices
                 )
+            return batch
+
+        for i, batch in device_prefetch(
+            train_loader.epoch(epoch), put_fn, depth=prefetch_depth
+        ):
             state, out = train_step(
-                state, batch, jnp.asarray(float(epoch)), step_rng,
+                state, batch, jnp.asarray(float(epoch)),
+                jax.random.fold_in(step_base, i),
             )
             # Device-side accumulation: no host readback (which would stall
             # the dispatch pipeline); one transfer per epoch.
-            acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
+            acc = out if acc is None else acc_add(acc, out)
             n_steps += 1
         if n_steps == 0:
             raise RuntimeError(
