@@ -1,0 +1,210 @@
+"""Receipt: the FIRST pixel generated on the chip — full factory sample (r4).
+
+VERDICT r3 missing #1: the reference's factory ends every sample in a
+decoded image + saved jpg/png (`/root/reference/synth_sod/src/synth_sod/
+data_generation/concept_attention/flux_with_concept_attention_pipeline.py:
+1116-1186` VAE decode; `generate_train_images.py:262-279` save), but our
+VAE had never run on hardware. This receipt runs the generation loop
+end-to-end ON TPU through the real orchestrator mechanics:
+
+  denoise (half-depth FLUX-dim MMDiT, 28 steps, concept stream on the
+  gated tail steps) -> VAE decode at ~1MP (FLUX-dims decoder) ->
+  FluxDPT teacher mask -> save jpg(q95)+png via
+  ImageMaskGenerationPipeline.process_class -> flip-consistency filter,
+
+with random weights throughout (zero egress: no FLUX/T5/CLIP checkpoints
+reachable), stub text embeddings, and a per-stage timing table. Random
+weights make the *pixels* noise — the receipt proves the path, shapes,
+memory fit and stage costs, which are weight-independent.
+
+Run: python benchmarks/exp_generate_onchip.py [--out /tmp/gen_onchip]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from benchmarks._harness import preflight  # noqa: E402
+
+
+class StubTextEncoders:
+    """Deterministic random embeddings in the real CLIP/T5 shapes (zero
+    egress: the actual encoders' weights are unreachable)."""
+
+    def __init__(self, text_dim, pooled_dim, n_txt=512, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.text_dim, self.pooled_dim, self.n_txt = text_dim, pooled_dim, n_txt
+
+    def encode(self, prompts):
+        t5 = self.rng.standard_normal(
+            (len(prompts), self.n_txt, self.text_dim)).astype(np.float32) * 0.2
+        pooled = self.rng.standard_normal(
+            (len(prompts), self.pooled_dim)).astype(np.float32) * 0.2
+        return t5, pooled
+
+    def encode_concepts(self, concepts):
+        emb = self.rng.standard_normal(
+            (1, len(concepts), self.text_dim)).astype(np.float32) * 0.2
+        pooled = self.rng.standard_normal(
+            (1, self.pooled_dim)).astype(np.float32) * 0.2
+        return emb, pooled
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/gen_onchip")
+    ap.add_argument("--size", type=int, default=1024)
+    args = ap.parse_args()
+
+    preflight()
+    import jax
+    import jax.numpy as jnp
+
+    from s3od_tpu.aot import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from s3od_tpu.configs import segmentation_config
+    from s3od_tpu.convert import save_native
+    from s3od_tpu.datagen.diffusion import ConceptAttentionPipeline
+    from s3od_tpu.datagen.generate_train_images import (
+        GenerationConfig,
+        ImageMaskGenerationPipeline,
+    )
+    from s3od_tpu.models.mmdit import MMDiTConfig, init_mmdit_params
+    from s3od_tpu.models.vae import VAE, VAEConfig, init_vae_params
+
+    out = Path(args.out)
+    timings = {}
+
+    # --- half-depth FLUX-dim MMDiT (r3 receipt config; taps rescaled to
+    # the 19-single-block depth so the teacher gets its 4 layers) --------
+    mcfg = MMDiTConfig(num_dual_blocks=9, num_single_blocks=19,
+                       feature_taps=(2, 8, 13, 18))
+    t0 = time.perf_counter()
+    params = init_mmdit_params(jax.random.key(0), mcfg, dtype=jnp.bfloat16)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"MMDiT: {n_params/1e9:.2f}B params ({n_params*2/1e9:.1f} GB bf16)")
+
+    # --- FLUX-dims VAE (128 base, 4 stages, 16 latent channels) ---------
+    vcfg = VAEConfig()
+    enc, dec = init_vae_params(jax.random.key(1), vcfg)
+    vae = VAE(jax.tree.map(lambda x: x.astype(jnp.bfloat16), enc),
+              jax.tree.map(lambda x: x.astype(jnp.bfloat16), dec), vcfg)
+    n_vae = sum(x.size for x in jax.tree.leaves((enc, dec)))
+    print(f"VAE: {n_vae/1e6:.0f}M params")
+    timings["init+upload"] = time.perf_counter() - t0
+
+    pipe = ConceptAttentionPipeline(
+        params, mcfg,
+        text_encoders=StubTextEncoders(mcfg.text_dim, mcfg.pooled_dim),
+        vae=vae, num_inference_steps=28,
+    )
+
+    # --- FluxDPT teacher (ViT-L + fusion, random) ------------------------
+    t0 = time.perf_counter()
+    from s3od_tpu.models.flux_teacher import (
+        FluxTeacherConfig,
+        init_flux_teacher_params,
+    )
+
+    tcfg = FluxTeacherConfig(base=segmentation_config("dinov3_large"))
+    tparams, tstate = init_flux_teacher_params(jax.random.key(2), tcfg)
+    out.mkdir(parents=True, exist_ok=True)
+    teacher_path = out / "teacher.npz"
+    save_native(str(teacher_path), tparams, tstate)
+    del tparams, tstate
+    from s3od_tpu.datagen.mask_generator import create_mask_generator
+
+    mask_gen = create_mask_generator(str(teacher_path))
+    timings["teacher init+save+load"] = time.perf_counter() - t0
+
+    # --- the real orchestrator, one sample ------------------------------
+    gcfg = GenerationConfig(
+        output_dir=str(out / "dataset"),
+        prompts_dir=str(out / "prompts"),
+        prompts_per_class=1,
+        seed=7,
+    )
+    orch = ImageMaskGenerationPipeline(gcfg, pipe, mask_generator=mask_gen)
+
+    # time the sub-stages via a wrapped backend
+    inner_generate = pipe.generate
+
+    def timed_generate(prompt, concept, h, w, seed):
+        print(f"generating '{prompt[:60]}...' at {w}x{h}")
+        t = time.perf_counter()
+        r = inner_generate(prompt, concept, h, w, seed)
+        timings["generate (28-step denoise + decode)"] = time.perf_counter() - t
+        return r
+
+    pipe.generate = timed_generate
+    inner_mask = mask_gen.generate_mask
+
+    def timed_mask(image, feats, cmaps):
+        t = time.perf_counter()
+        m = inner_mask(image, feats, cmaps)
+        timings["teacher mask"] = time.perf_counter() - t
+        return m
+
+    mask_gen.generate_mask = timed_mask
+
+    t0 = time.perf_counter()
+    done = orch.process_class("golden retriever", 1)
+    timings["orchestrator total"] = time.perf_counter() - t0
+    assert done == 1, "sample failed (see error log above)"
+
+    imgs = sorted((out / "dataset" / "images").glob("*.jpg"))
+    masks = sorted((out / "dataset" / "masks").glob("*.png"))
+    assert imgs and masks, "jpg/png pair missing"
+    print(f"saved: {imgs[0]} + {masks[0]}")
+
+    # --- decode-only timing (separate from the fused generate span) -----
+    from PIL import Image
+
+    im = np.array(Image.open(imgs[0]))
+    h, w = im.shape[:2]
+    lat = np.random.default_rng(0).standard_normal(
+        (1, h // 8, w // 8, vcfg.latent_channels)).astype(np.float32)
+    _ = vae.decode(lat)  # compile
+    t0 = time.perf_counter()
+    _ = vae.decode(lat)
+    timings[f"VAE decode only ({w}x{h})"] = time.perf_counter() - t0
+
+    # --- flip-consistency filter mechanics (random tiny student) --------
+    from s3od_tpu.configs import tiny_test_config
+    from s3od_tpu.datagen.filtering import Sample
+    from s3od_tpu.datagen.filters.consistency import (
+        HorizontalFlipConsistencyFilter,
+    )
+    from s3od_tpu.models.segmentation import init_segmentation_params
+
+    sparams, sstate = init_segmentation_params(
+        jax.random.key(3), tiny_test_config()
+    )
+    student_path = out / "student.npz"
+    save_native(str(student_path), sparams, sstate)
+    filt = HorizontalFlipConsistencyFilter(
+        str(student_path), image_size=256, batch_size=1
+    )
+    sample = Sample(image_path=imgs[0], mask_path=masks[0],
+                    class_name="golden retriever", sample_id="0000")
+    t0 = time.perf_counter()
+    res = filt.filter(sample)
+    timings["flip-consistency filter"] = time.perf_counter() - t0
+    print(f"filter: passed={res.passed} score={res.score:.3f} "
+          f"(random weights — pass/fail is not meaningful, mechanics are)")
+
+    print("\nstage timing table:")
+    for k, v in timings.items():
+        print(f"  {k:42s} {v:8.1f} s")
+
+
+if __name__ == "__main__":
+    main()
