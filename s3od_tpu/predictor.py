@@ -143,6 +143,40 @@ def _resize_image(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
         return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+def _masks_to_original(masks_nhw: np.ndarray,
+                       out_hw: Tuple[int, int]) -> np.ndarray:
+    """(n, h, w) soft masks -> (n, H, W) at the original size, clipped.
+
+    The reference applies `F.interpolate(..., antialias=True)`
+    (`src/s3od/predictor.py:118-124`); antialiasing only changes the
+    result when DOWNSCALING (the triangle filter support collapses to
+    plain bilinear at scale >= 1), so upscales route through cv2's SIMD
+    bilinear (4.4x faster on a 1-core host, max-diff 2e-7 vs the matched
+    numpy filter — the postprocess was the measured e2e stream bottleneck
+    at large output sizes). Downscales keep the exact numpy triangle
+    filter for torch parity."""
+    ih, iw = masks_nhw.shape[1:]
+    oh, ow = out_hw
+    if oh >= ih and ow >= iw:
+        try:
+            import cv2
+
+            out = np.stack([
+                cv2.resize(m, (ow, oh), interpolation=cv2.INTER_LINEAR)
+                for m in masks_nhw
+            ])
+            return np.clip(out, 0.0, 1.0)
+        except ImportError:
+            pass
+    return np.clip(
+        resize_bilinear_numpy(
+            masks_nhw, out_hw, antialias=True, h_axis=1, w_axis=2
+        ),
+        0.0,
+        1.0,
+    )
+
+
 class BackgroundRemoval:
     DEFAULT_MODEL_ID = "okupyn/s3od"
     DEFAULT_CHECKPOINT_NAME = "s3od.pt"
@@ -390,14 +424,7 @@ class BackgroundRemoval:
         original size -> clip -> argmax-IoU selection -> RGBA composite.
         `masks_nc`: (n, S, S) fp32 soft masks on the padded canvas."""
         unpadded = remove_padding(masks_nc, pad_info)
-        all_masks = np.clip(
-            resize_bilinear_numpy(
-                unpadded, pad_info["original_size"], antialias=True,
-                h_axis=1, w_axis=2,
-            ),
-            0.0,
-            1.0,
-        )
+        all_masks = _masks_to_original(unpadded, pad_info["original_size"])
         best = int(ious.argmax())
         alpha = (all_masks[best] * 255).astype(np.uint8)
         return RemovalResult(
@@ -417,14 +444,7 @@ class BackgroundRemoval:
         is still the full vector so selection is reconstructible."""
         mask = mask_u8.astype(np.float32) * (1.0 / 255.0)  # (S, S)
         unpadded = remove_padding(mask[None], pad_info)
-        m = np.clip(
-            resize_bilinear_numpy(
-                unpadded, pad_info["original_size"], antialias=True,
-                h_axis=1, w_axis=2,
-            ),
-            0.0,
-            1.0,
-        )
+        m = _masks_to_original(unpadded, pad_info["original_size"])
         alpha = (m[0] * 255).astype(np.uint8)
         return RemovalResult(
             predicted_mask=m[0],

@@ -272,6 +272,35 @@ def test_bucket_upload_matches_canvas(circle_image):
         np.testing.assert_array_equal(g.all_ious, r.all_ious)
 
 
+def test_masks_to_original_cv2_matches_numpy_on_upscale():
+    """The cv2 fast path is only taken when upscaling, where torch's
+    antialias flag is a no-op — it must agree with the matched numpy
+    triangle-filter implementation to float-rounding."""
+    import pytest as _pytest
+
+    from s3od_tpu.ops.resize import resize_bilinear_numpy
+    from s3od_tpu.predictor import _masks_to_original
+
+    cv2 = _pytest.importorskip("cv2")  # noqa: F841
+    rng = np.random.default_rng(0)
+    m = rng.random((3, 96, 128)).astype(np.float32)
+    got = _masks_to_original(m, (192, 256))
+    want = np.clip(
+        resize_bilinear_numpy(m, (192, 256), antialias=True,
+                              h_axis=1, w_axis=2),
+        0.0, 1.0,
+    )
+    assert np.abs(got - want).max() < 1e-6
+    # downscale keeps the exact antialiased path
+    got_dn = _masks_to_original(m, (48, 64))
+    want_dn = np.clip(
+        resize_bilinear_numpy(m, (48, 64), antialias=True,
+                              h_axis=1, w_axis=2),
+        0.0, 1.0,
+    )
+    np.testing.assert_array_equal(got_dn, want_dn)
+
+
 def test_server_stop_fails_queued_requests():
     """stop() must resolve still-queued futures with an error instead of
     leaving blocked submit() callers deadlocked."""
