@@ -21,7 +21,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from s3od_tpu.ops.mask_tail import mask_tail, mask_tail_reference
+    from s3od_tpu.ops.experimental.mask_tail import mask_tail, mask_tail_reference
     from s3od_tpu.profiling import slope_time
 
     rng = np.random.default_rng(0)

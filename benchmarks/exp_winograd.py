@@ -60,7 +60,7 @@ def main():
               f"{ms:.2f} ms/step ({ms / args.batch:.2f} ms/img)")
         return
 
-    from s3od_tpu.ops.winograd import (
+    from s3od_tpu.ops.experimental.winograd import (
         _reference,
         _rcu_reference,
         conv3x3_winograd,

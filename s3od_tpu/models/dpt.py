@@ -45,7 +45,7 @@ _CONVT_UP_ENABLED = _os.environ.get("S3OD_CONVT_UP", "1") == "1"
 # Fused-tail v1 measured SLOWER than the XLA path on v5e (6.68 vs 4.35 ms
 # standalone at 1024px — Mosaic inserts a sublane relayout for every
 # unaligned W-shift slice, 27 per tile). Gate stays off until a version
-# beats XLA; see benchmarks/exp_mask_tail.py and ops/mask_tail.py.
+# beats XLA; see benchmarks/exp_mask_tail.py and ops/experimental/mask_tail.py.
 MASK_TAIL_FUSED = False
 
 # Batch-pair channel packing for the full-res tail: packs two images into
@@ -75,10 +75,10 @@ def _residual_conv_unit(
     new_s = {} if use_bn else None
     if not use_bn and "bias" in p["conv1"]:
         # BN-folded serving form: the whole unit is one chained Winograd
-        # kernel when the gate is on (ops/winograd.py:rcu_winograd — the
+        # kernel when the gate is on (ops/experimental/winograd.py:rcu_winograd — the
         # intermediate never touches HBM, no per-conv s2d copies).
         from s3od_tpu.ops.conv import _WINOGRAD_INTERPRET, _winograd_eligible
-        from s3od_tpu.ops.winograd import rcu_winograd, rcu_winograd_available
+        from s3od_tpu.ops.experimental.winograd import rcu_winograd, rcu_winograd_available
 
         b_, h_, w_, c_ = x.shape
         if (
@@ -347,7 +347,7 @@ def dpt_head_forward(
 
     # Serving fast path: the whole tail (ReLU -> 3x3 -> ReLU -> fused 3x3
     # -> ReLU -> block-diag 1x1) as ONE Pallas kernel over row slabs —
-    # full-res intermediates never round-trip HBM (s3od_tpu/ops/mask_tail.py).
+    # full-res intermediates never round-trip HBM (s3od_tpu/ops/experimental/mask_tail.py).
     # The antialiased resize below is a no-op exactly when feat is already
     # at target (8p -> convT x2 = 16p at every canvas), which is also the
     # condition for the fused path.
@@ -363,7 +363,7 @@ def dpt_head_forward(
         and _mask_tail_available()
     )
     if use_fused:
-        from s3od_tpu.ops.mask_tail import mask_tail
+        from s3od_tpu.ops.experimental.mask_tail import mask_tail
 
         m = mask_tail(
             feat,

@@ -17,7 +17,7 @@ from s3od_tpu.ops.precision import dot_precision
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
-# Winograd F(2,3) path for eligible 3x3/s1/p1 convs (ops/winograd.py):
+# Winograd F(2,3) path for eligible 3x3/s1/p1 convs (ops/experimental/winograd.py):
 # 2.25x fewer MXU FLOPs on the DPT decoder's hot convs. MEASURED NEGATIVE
 # on hardware (benchmarks/validate_r2_kernels.py, v5e, full 1024px serving
 # graph): batch 1 23.62 -> 26.46 ms/img, batch 8 191.7 -> 239.6 ms — the
@@ -37,7 +37,7 @@ def _winograd_eligible(x, kernel, stride, padding) -> bool:
         return False
     if not _WINOGRAD_INTERPRET and jax.default_backend() != "tpu":
         return False
-    from s3od_tpu.ops.winograd import winograd_available
+    from s3od_tpu.ops.experimental.winograd import winograd_available
 
     b, h, w, c = x.shape
     return winograd_available(h, w, c, kernel.shape[-1], x.dtype)
@@ -53,7 +53,7 @@ def conv2d(
     """Standard conv; p = {kernel: (kh,kw,in,out), bias?: (out,)}."""
     kernel = p["kernel"].astype(x.dtype)
     if _winograd_eligible(x, kernel, stride, padding):
-        from s3od_tpu.ops.winograd import conv3x3_winograd
+        from s3od_tpu.ops.experimental.winograd import conv3x3_winograd
 
         return conv3x3_winograd(
             x, {"kernel": kernel, **({"bias": p["bias"]} if "bias" in p else {})},
