@@ -135,15 +135,14 @@ class SODPredictor:
         return place_on_canvas(resized, self.image_size, pad_info), pad_info
 
     def _postprocess(self, masks, ious, pad_info, threshold):
+        from s3od_tpu.predictor import _masks_to_original
+
         unpadded = remove_padding(masks, pad_info)
-        resized = np.clip(
-            resize_bilinear_numpy(
-                unpadded, pad_info["original_size"], antialias=True,
-                h_axis=1, w_axis=2,
-            ),
-            0.0,
-            1.0,
-        )
+        # cv2 fast path on upscales (antialias is a no-op there), exact
+        # numpy triangle filter on downscales — see predictor._masks_to_
+        # original; eval sets are mostly larger than the canvas, so this
+        # dominates eval-CLI host time on a 1-core host.
+        resized = _masks_to_original(unpadded, pad_info["original_size"])
         if resized.shape[0] == 1:
             soft = resized[0]
             return PredictionResult(

@@ -209,6 +209,7 @@ def dpt_head_forward(
     remat: bool = False,
     masks_nhwc: bool = False,
     convt_up: Optional[bool] = None,
+    mask_head: bool = True,
 ):
     """tap_features: 4 x (B, N, C) patch tokens. Returns (outputs, new_state).
 
@@ -296,6 +297,12 @@ def dpt_head_forward(
     fc2_k = params["classifier"]["fc2"]["kernel"].astype(pooled.dtype)
     iou = jnp.matmul(iou, fc2_k, precision=dot_precision(iou, fc2_k))
     iou = iou + params["classifier"]["fc2"]["bias"].astype(pooled.dtype)
+
+    if not mask_head:
+        # Trunk-only mode: neck + fusion pyramid + IoU head, no full-res
+        # mask tail. Used by stage-attribution receipts
+        # (benchmarks/exp_roofline.py) and feature consumers.
+        return {"pred_iou": iou, "features": path1}, new_state
 
     # Mask head (`model.py:421-467`).
     mh = params["mask_head"]

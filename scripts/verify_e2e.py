@@ -126,6 +126,21 @@ def main():
     ))
     check("stream (batch=3)", streamed, range(7), ref_masks, ref_ious)
 
+    # Reduced-payload product fast path (payload="best": on-device
+    # argmax-IoU + uint8 mask readback; bucketed upload engages by
+    # default on TPU). Same selection as the oracle; mask within the
+    # uint8 quantization step.
+    fast = list(br.remove_background_stream(
+        [Image.fromarray(imgs[i]) for i in range(7)], depth=2, batch=3,
+        payload="best",
+    ))
+    for i, r in zip(range(7), fast):
+        np.testing.assert_allclose(r.all_ious, ref_ious[i], atol=1e-4)
+        assert int(np.argmax(r.all_ious)) == int(np.argmax(ref_ious[i]))
+        d = float(np.abs(r.predicted_mask - ref_masks[i]).max())
+        assert d < 5e-3, f"fast-path mask diff {d}"
+    print("[stream payload=best] selection + uint8-quantized mask OK")
+
     import demo.app as app
 
     app._model_cache[ckpt] = br
