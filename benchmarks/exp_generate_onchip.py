@@ -60,9 +60,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/gen_onchip")
     ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU wiring dry-run: tiny MMDiT/VAE/teacher at a "
+                         "small canvas — validates the whole path without "
+                         "hardware")
     args = ap.parse_args()
 
-    preflight()
+    if args.tiny:
+        import jax as _jax
+        import jax.extend.backend as _jeb
+
+        _jax.config.update("jax_platforms", "cpu")
+        _jeb.clear_backends()
+    else:
+        preflight()
     import jax
     import jax.numpy as jnp
 
@@ -85,15 +96,23 @@ def main():
 
     # --- half-depth FLUX-dim MMDiT (r3 receipt config; taps rescaled to
     # the 19-single-block depth so the teacher gets its 4 layers) --------
-    mcfg = MMDiTConfig(num_dual_blocks=9, num_single_blocks=19,
-                       feature_taps=(2, 8, 13, 18))
+    if args.tiny:
+        mcfg = MMDiTConfig(hidden_size=256, num_heads=2,
+                           num_dual_blocks=2, num_single_blocks=4,
+                           feature_taps=(0, 1, 2, 3), in_channels=16,
+                           text_dim=64, pooled_dim=32)
+        vcfg = VAEConfig(latent_channels=4, base_channels=16,
+                         channel_mults=(1, 1, 2, 2), layers_per_block=1,
+                         groups=4)
+    else:
+        mcfg = MMDiTConfig(num_dual_blocks=9, num_single_blocks=19,
+                           feature_taps=(2, 8, 13, 18))
+        vcfg = VAEConfig()  # FLUX dims: 128 base, 4 stages, 16 latents
     t0 = time.perf_counter()
     params = init_mmdit_params(jax.random.key(0), mcfg, dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"MMDiT: {n_params/1e9:.2f}B params ({n_params*2/1e9:.1f} GB bf16)")
 
-    # --- FLUX-dims VAE (128 base, 4 stages, 16 latent channels) ---------
-    vcfg = VAEConfig()
     enc, dec = init_vae_params(jax.random.key(1), vcfg)
     vae = VAE(jax.tree.map(lambda x: x.astype(jnp.bfloat16), enc),
               jax.tree.map(lambda x: x.astype(jnp.bfloat16), dec), vcfg)
@@ -114,7 +133,17 @@ def main():
         init_flux_teacher_params,
     )
 
-    tcfg = FluxTeacherConfig(base=segmentation_config("dinov3_large"))
+    if args.tiny:
+        from s3od_tpu.configs import tiny_test_config
+
+        tcfg = FluxTeacherConfig(base=tiny_test_config(),
+                                 flux_dim=mcfg.hidden_size // 4)
+        # keep the tiny CPU denoise at a small token count
+        from s3od_tpu.datagen import generate_train_images as gti
+
+        gti.GENERATION_RESOLUTIONS[:] = [(256, 256)]
+    else:
+        tcfg = FluxTeacherConfig(base=segmentation_config("dinov3_large"))
     tparams, tstate = init_flux_teacher_params(jax.random.key(2), tcfg)
     out.mkdir(parents=True, exist_ok=True)
     teacher_path = out / "teacher.npz"
