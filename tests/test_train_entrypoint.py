@@ -93,11 +93,12 @@ def test_train_entrypoint_end_to_end(tmp_path):
     assert len(res.all_ious) == 3
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 1), (2, 2)])
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 2)])
 def test_train_step_device_count_invariance(mesh_shape):
-    """One train step on mesh {1}, {data:4} and {data:2, fsdp:2} with the
-    SAME global batch must produce the same loss and parameters (sync-BN
-    batch stats are global under jit; gradient reduction is exact)."""
+    """One train step on mesh {1} vs {data:2, fsdp:2} with the SAME
+    global batch must produce the same loss and parameters (sync-BN
+    batch stats are global under jit; gradient reduction is exact; the
+    {2,2} mesh exercises both the data and fsdp axes)."""
     import optax
 
     from s3od_tpu.configs import tiny_test_config
