@@ -217,3 +217,42 @@ def test_full_depth_mmdit_fsdp_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5
         )
+
+
+def test_device_prefetch_orders_and_propagates():
+    """device_prefetch (training/data.py): yields (i, put(i, batch)) in
+    order with a bounded look-ahead, and surfaces producer exceptions
+    instead of deadlocking the consumer."""
+    import time
+
+    from s3od_tpu.training.data import device_prefetch
+
+    calls = []
+
+    def put(i, b):
+        calls.append(i)
+        return b * 10
+
+    out = list(device_prefetch(iter(range(6)), put, depth=2))
+    assert out == [(i, i * 10) for i in range(6)]
+    assert calls == list(range(6))
+
+    def boom(i, b):
+        if b == 2:
+            raise RuntimeError("upload failed")
+        return b
+
+    got = []
+    with pytest.raises(RuntimeError, match="upload failed"):
+        for i, b in device_prefetch(iter(range(6)), boom, depth=2):
+            got.append(b)
+    assert got == [0, 1]
+
+    # early consumer exit must not leave the producer thread spinning
+    gen = device_prefetch(iter(range(100)), put, depth=2)
+    next(gen)
+    gen.close()
+    time.sleep(0.1)
+    n_after = len(calls)
+    time.sleep(0.3)
+    assert len(calls) <= n_after + 3  # bounded by depth, then stops
