@@ -39,20 +39,43 @@ def conv_traffic_gb(shapes):
 
 
 def main():
-    preflight()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--debug", action="store_true",
+                    help="CPU mechanics run at a tiny shape")
+    args = ap.parse_args()
+
+    if args.debug:
+        import jax as _jax
+        import jax.extend.backend as _jeb
+
+        _jax.config.update("jax_platforms", "cpu")
+        _jeb.clear_backends()
+    else:
+        preflight()
     import jax
     import jax.numpy as jnp
 
     from s3od_tpu.aot import enable_compilation_cache
 
-    enable_compilation_cache()
+    if not args.debug:
+        enable_compilation_cache()
 
     from s3od_tpu.models.dinov3 import encoder_forward
     from s3od_tpu.models.dpt import dpt_head_forward
     from s3od_tpu.predictor import IMAGENET_MEAN, IMAGENET_STD
 
-    cfg, params, state = build_serving_state()
-    B, S = 16, 1024
+    if args.debug:
+        from s3od_tpu.configs import tiny_test_config
+        from s3od_tpu.models.segmentation import init_segmentation_params
+
+        cfg = tiny_test_config()
+        params, state = init_segmentation_params(jax.random.key(0), cfg)
+        B, S = 2, 256
+    else:
+        cfg, params, state = build_serving_state()
+        B, S = 16, 1024
     mean = jnp.asarray(IMAGENET_MEAN * 255.0)
     inv_std = jnp.asarray(1.0 / (IMAGENET_STD * 255.0))
 
@@ -71,7 +94,7 @@ def main():
         def run(params, state, images_u8):
             taps = enc(params, images_u8)
             out, _ = dpt_head_forward(
-                params, state, taps, (S // 16, S // 16), cfg,
+                params["head"], state, taps, (S // 16, S // 16), cfg,
                 training=False, masks_nhwc=True, mask_head=mask_head,
             )
             if mask_head:
@@ -112,34 +135,37 @@ def main():
     t_neck = t_trunk - t_enc
     t_tail = t_full - t_trunk
 
-    print(f"batch {B} @1024px bf16 — per-step (per-image):")
+    print(f"batch {B} @{S}px — per-step (per-image):")
     for name, t in (("encoder", t_enc), ("trunk (neck+fusion+iou)", t_neck),
                     ("mask tail", t_tail), ("TOTAL", t_full)):
         print(f"  {name:26s} {t*1000:7.2f} ms ({t/B*1000:5.2f} ms/img)")
 
     # Analytic minimum HBM traffic per stage (conv inputs+outputs; weights
     # are negligible at these activation sizes; fused elementwise free).
-    F = cfg.features  # 256
+    F = cfg.features  # 256 (base)
+    half, up, g = S // 2, S, S // 16  # path1 size, canvas, tap grid
+    mi = 2 * getattr(cfg, "mask_inter_features", 32)  # up-conv channels
     tail_shapes = [
-        ((B, 512, 512, F), F // 2, 1),        # output_conv1 3x3 256->128
-        ((B, 512, 512, F // 2), 64, 1),       # convT x2 (writes 1024^2 x64)
-        ((B, 1024, 1024, 64), 64, 1),         # up_conv 3x3
-        ((B, 1024, 1024, 64), 96, 1),         # fused branch 3x3 64->96
-        ((B, 1024, 1024, 96), 3, 1),          # block-diag 1x1
+        ((B, half, half, F), F // 2, 1),      # output_conv1 3x3 256->128
+        ((B, half, half, F // 2), mi, 1),     # convT x2 (writes S^2 x 64)
+        ((B, up, up, mi), mi, 1),             # up_conv 3x3
+        ((B, up, up, mi), 3 * F // 8, 1),     # fused branch 3x3 64->96
+        ((B, up, up, 3 * F // 8), 3, 1),      # block-diag 1x1
     ]
     # fix the convT output size (stride-up not down)
-    tail_gb = conv_traffic_gb(tail_shapes) + B * 1024 * 1024 * 64 * 2 / 1e9
+    tail_gb = conv_traffic_gb(tail_shapes) + B * up * up * mi * 2 / 1e9
     nk = cfg.neck_channels
+    H = cfg.encoder.hidden_size
     trunk_shapes = [
-        ((B, 64, 64, 768), nk[0], 1), ((B, 64, 64, 768), nk[1], 1),
-        ((B, 64, 64, 768), nk[2], 1), ((B, 64, 64, 768), nk[3], 2),
-        ((B, 256, 256, nk[0]), F, 1), ((B, 128, 128, nk[1]), F, 1),
-        ((B, 64, 64, nk[2]), F, 1), ((B, 32, 32, nk[3]), F, 1),
+        ((B, g, g, H), nk[0], 1), ((B, g, g, H), nk[1], 1),
+        ((B, g, g, H), nk[2], 1), ((B, g, g, H), nk[3], 2),
+        ((B, 4 * g, 4 * g, nk[0]), F, 1), ((B, 2 * g, 2 * g, nk[1]), F, 1),
+        ((B, g, g, nk[2]), F, 1), ((B, g // 2, g // 2, nk[3]), F, 1),
     ]
     # fusion pyramid: 2 RCUs (2 convs each) + out conv per level
-    for r in (32, 64, 128, 256):
+    for r in (g // 2, g, 2 * g, 4 * g):
         trunk_shapes += [((B, r, r, F), F, 1)] * 5
-    trunk_gb = conv_traffic_gb(trunk_shapes) + B * 512 * 512 * F * 2 / 1e9
+    trunk_gb = conv_traffic_gb(trunk_shapes) + B * half * half * F * 2 / 1e9
 
     # encoder FLOPs: 12 blocks x (qkv+proj 4hd^2... ) ~= 2 * params * tokens
     n_tok = (S // 16) ** 2 + 5
