@@ -150,3 +150,35 @@ def test_train_step_device_count_invariance(mesh_shape):
     )
     # params differ by lr * (gradient reassociation noise across meshes)
     assert worst < 1e-4, f"params/grads diverge across meshes: {worst:.2e}"
+
+
+@pytest.mark.slow
+def test_train_entrypoint_deterministic(tmp_path):
+    """Two identical train() runs produce identical metrics: the
+    device-prefetch worker derives per-step/per-slice RNG by fold_in
+    (not serial splits), so running ahead of the consumer must not
+    change the stream."""
+    from s3od_tpu.training.train import train
+
+    _write_dataset(tmp_path, n=12)
+    args = [
+        "dataset=duts",
+        "dataset.paths=[tinyds]",
+        "dataset.image_size=64",
+        "dataset.train_batch_size=2",
+        "dataset.val_batch_size=1",
+        "dataset.val_split=0.25",
+        "dataset.transform_mode=regular",  # exercises augmentation RNG
+        "dataset.test_datasets=[]",
+        "model=tiny",
+        "backend=cpu",
+        "backend.accelerator=auto",
+        "backend.devices=2",
+        "backend.max_epochs=2",
+        "backend.num_threads=2",
+    ]
+    m1 = train(args + [f"data_dir={tmp_path}", f"base_dir={tmp_path}/o1"])
+    m2 = train(args + [f"data_dir={tmp_path}", f"base_dir={tmp_path}/o2"])
+    assert set(m1) == set(m2)
+    for k in m1:
+        assert abs(m1[k] - m2[k]) < 1e-6, (k, m1[k], m2[k])
