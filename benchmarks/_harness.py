@@ -14,16 +14,21 @@ from __future__ import annotations
 _preflight_done = False
 
 
-def preflight(timeout_s: float = 180.0):
+def preflight(timeout_s: float = 300.0):
     """Subprocess relay probe (s3od_tpu/relay.py) before the first
     in-process JAX touch: a dead relay makes the script exit 2 with a
-    message instead of hanging forever. Cached per process."""
+    message instead of hanging forever. Cached per process.
+
+    300 s + one retry: r4 observed ~180 s probe warmups on a healthy
+    relay (two receipt scripts died on flaky probes while the scripts
+    before and after them ran fine)."""
     global _preflight_done
     if _preflight_done:
         return
-    from s3od_tpu.relay import require_backend
+    from s3od_tpu.relay import probe_backend, require_backend
 
-    require_backend(timeout_s, want="")
+    if not probe_backend(timeout_s).ok:
+        require_backend(timeout_s, want="")  # second try, then exit 2
     _preflight_done = True
 
 
