@@ -260,11 +260,10 @@ def main():
             rng.integers(0, 255, s + (3,), dtype=np.uint8)
             for s in (sizes * 6)[:24]
         ]
-        # Tuned on the live relay (benchmarks/exp_relay_payload.py sweep:
-        # payload=best batch=4 depth=3 pre=2 won at 8.36 img/s before the
-        # bucketed upload landed).
-        kw = dict(payload="best", batch=4, depth=3, pre_workers=2,
-                  post_workers=2)
+        # Tuned on the live relay (2026-08-21 sweep with bucketed upload +
+        # cv2 postprocess: b4 d5 p4 w4 -> 10.25 img/s; d3 p2 w2 -> 9.43).
+        kw = dict(payload="best", batch=4, depth=5, pre_workers=4,
+                  post_workers=4)
         list(pred.remove_background_stream(imgs[:4], **kw))  # warm
         t0 = time.perf_counter()
         n_done = sum(1 for _ in pred.remove_background_stream(imgs, **kw))
