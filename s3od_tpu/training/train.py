@@ -301,7 +301,17 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     mode = cfg.dataset.transform_mode
     loss_module = LossModule(_compose_loss_config(cfg.loss))
 
+    def _decode_masks(batch):
+        # Masks travel host->device as uint8 (4x fewer bytes than fp32 —
+        # the upload is the dominant wall-clock term at 1024px on a
+        # relay-attached device) and decode to [0,1] float on device.
+        m = batch.get("masks")
+        if m is not None and m.dtype == jnp.uint8:
+            batch = {**batch, "masks": m.astype(jnp.float32) / 255.0}
+        return batch
+
     def train_pre(rng, batch):
+        batch = _decode_masks(batch)
         if is_teacher:
             # Teacher data gets normalization only (`dataset.py:176-178`).
             x = batch["images"].astype(jnp.float32) / 255.0
@@ -312,6 +322,7 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
         return {**batch, "images": normalize_imagenet(x), "masks": m}
 
     def eval_pre(rng, batch):
+        batch = _decode_masks(batch)
         x = batch["images"].astype(jnp.float32) / 255.0
         return {**batch, "images": normalize_imagenet(x)}
 
@@ -429,6 +440,11 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
             # the augmentation program for batch i while step i-1 is still
             # computing (VERDICT r3 weak #4: 5.1 s/step wall vs ~0.4 s
             # device step — the upload must overlap the device step).
+            m = batch.get("masks")
+            if m is not None and m.dtype == np.float32:
+                # uint8 over the wire; train_pre/eval_pre decode on device.
+                batch = {**batch,
+                         "masks": np.round(m * 255.0).astype(np.uint8)}
             batch = shard_batch(batch, mesh)
             if aug_fn is not None:
                 # Augment per accumulation micro-slice: the synthetic
