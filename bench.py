@@ -13,10 +13,18 @@ target is >=10x per v5e chip. The reference publishes no numbers
 
 CAPTURE-PROOF DESIGN (round-2 post-mortem: BENCH_r02.json rc=124, no
 parsed JSON, because a ~20x-degraded relay stretched a sweep + auto-tune
-+ e2e run past the driver's budget before the single final JSON line):
++ e2e run past the driver's budget before the single final JSON line;
+round-4 post-mortem: BENCH_r04.json recorded 0.0 because a single
+240 s probe attempt gave up during a relay outage while the benchmark
+harness had already been hardened to 300 s + retry):
 - the relay is probed in a subprocess BEFORE any in-process JAX touch
-  (s3od_tpu/relay.py) — a dead relay exits 0 with a degraded JSON line
-  in ~4 min instead of hanging;
+  (s3od_tpu/relay.py): 300 s timeout, one immediate retry, then a
+  BOUNDED WAIT LOOP re-probing every 5 minutes for up to
+  $S3OD_BENCH_RELAY_WAIT_S (default 3600 s) — only after that does it
+  exit 0 with a degraded JSON line. Waiting is safe: subprocess probes
+  cannot poison the parent's backend-init lock;
+- the in-process watchdog is armed only AFTER the preflight succeeds,
+  so relay-wait time doesn't count against the 10-minute work budget;
 - a JSON result line is emitted IMMEDIATELY after the first successful
   batch-1 measurement and re-emitted whenever a later phase improves it
   (the driver parses the LAST line), so any later hang/kill still leaves
@@ -48,7 +56,12 @@ DEGRADED_FACTOR = 2.0
 
 METRIC = "images/sec/chip @1024px bg-removal (bf16)"
 _WATCHDOG_S = 10 * 60
-_PREFLIGHT_TIMEOUT_S = 240.0
+_PREFLIGHT_TIMEOUT_S = 300.0
+# Bounded wait for a down relay before emitting a degraded capture
+# (VERDICT r4: a round whose headline lives outside the official artifact
+# is not a finished round — wait out flaps rather than record 0.0).
+_RELAY_WAIT_S = float(os.environ.get("S3OD_BENCH_RELAY_WAIT_S", 3600))
+_RELAY_REPROBE_EVERY_S = 300.0
 
 _last_emitted = {"value": 0.0}
 
@@ -82,16 +95,45 @@ def _watchdog():
     os._exit(0)
 
 
-def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
+def _preflight_with_wait():
+    """Probe the relay: 300 s + one retry, then re-probe every 5 min up
+    to _RELAY_WAIT_S. Returns a ProbeResult (ok or the last failure).
 
+    Matches benchmarks/_harness.py's hardening plus a bounded wait —
+    subprocess probes can't hang or poison the parent, so waiting costs
+    nothing but wall clock."""
+    from s3od_tpu.relay import probe_backend
+
+    deadline = time.monotonic() + _RELAY_WAIT_S
+    attempt = 0
+    while True:
+        attempt += 1
+        probe = probe_backend(_PREFLIGHT_TIMEOUT_S)
+        if probe.ok:
+            return probe
+        remaining = deadline - time.monotonic()
+        print(
+            f"preflight attempt {attempt}: {probe.detail} "
+            f"({remaining:.0f}s of relay-wait budget left)",
+            file=sys.stderr, flush=True,
+        )
+        if attempt >= 2 and remaining <= 0:
+            return probe
+        # Attempt 1 -> immediate retry; afterwards pace to one probe per
+        # _RELAY_REPROBE_EVERY_S (the probe itself may burn the window).
+        if attempt >= 2:
+            spent = probe.elapsed_s
+            if spent < _RELAY_REPROBE_EVERY_S:
+                time.sleep(min(_RELAY_REPROBE_EVERY_S - spent,
+                               max(remaining, 0)))
+
+
+def main():
     # S3OD_BENCH_DEBUG=1: tiny model + canvas so the full flow is testable
     # on CPU in minutes. Never set by the driver.
     debug = os.environ.get("S3OD_BENCH_DEBUG") == "1"
     if not debug:
-        from s3od_tpu.relay import probe_backend
-
-        probe = probe_backend(_PREFLIGHT_TIMEOUT_S)
+        probe = _preflight_with_wait()
         if not probe.ok:
             print(f"preflight: {probe.detail}", file=sys.stderr)
             _emit(0.0, degraded_relay=True, preflight=probe.detail)
@@ -101,6 +143,10 @@ def main():
             f"probe_op={probe.op_ms:.1f} ms ({probe.elapsed_s:.0f}s total)",
             file=sys.stderr,
         )
+
+    # Arm the watchdog only now: relay-wait time must not eat the
+    # 10-minute in-process work budget.
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
     import jax.numpy as jnp
@@ -132,14 +178,16 @@ def main():
     size = 256 if debug else 1024
     cfg = segmentation_config("dinov3_small" if debug else "dinov3_base")
     params, state = init_segmentation_params(jax.random.key(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+    # The REAL serving tree: BN folded into the preceding convs (exact),
+    # bf16 weights, qkv pair-packed with the unpacked copy dropped —
+    # identical to what the predictor serves (prepare_serving_params).
+    # Benching the unfolded tree under-reported the trunk by the eval-BN
+    # elementwise passes (r5 finding).
+    from s3od_tpu.predictor import prepare_serving_params
 
-    # drop_unpacked: serving carries only the pair-packed qkv weights
-    # (keeping both copies printed 137.4M params for a 116.1M model and
-    # wasted ~42 MB HBM — round-2 verdict).
-    params = pack_encoder_qkv(params, cfg.encoder.num_heads,
-                              drop_unpacked=True)
+    params, state, cfg = prepare_serving_params(
+        params, state, cfg, jnp.bfloat16
+    )
 
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
     inv_std = 1.0 / (jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0)

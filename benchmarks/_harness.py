@@ -32,18 +32,32 @@ def preflight(timeout_s: float = 300.0):
     _preflight_done = True
 
 
-def build_serving_state(model: str = "dinov3_base"):
-    """(cfg, bf16 qkv-packed params, state) for a serving benchmark."""
+def build_serving_state(model: str = "dinov3_base", fold_bn: bool = True):
+    """(cfg, bf16 qkv-packed params, state) for a serving benchmark.
+
+    ``fold_bn=True`` (default since r5) returns the REAL serving tree —
+    BN folded, unpacked qkv dropped — exactly what the predictor compiles
+    against (predictor.prepare_serving_params). Receipts captured before
+    r5 used the unfolded tree; pass fold_bn=False to reproduce those.
+    """
     preflight()
     import jax
     import jax.numpy as jnp
 
     from s3od_tpu.configs import segmentation_config
     from s3od_tpu.models.segmentation import init_segmentation_params
-    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
 
     cfg = segmentation_config(model)
     params, state = init_segmentation_params(jax.random.key(0), cfg)
+    if fold_bn:
+        from s3od_tpu.predictor import prepare_serving_params
+
+        params, state, cfg = prepare_serving_params(
+            params, state, cfg, jnp.bfloat16
+        )
+        return cfg, params, state
+    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     params = pack_encoder_qkv(params, cfg.encoder.num_heads)
     return cfg, params, state

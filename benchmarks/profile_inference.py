@@ -37,10 +37,14 @@ def main():
 
     cfg = segmentation_config("dinov3_base")
     params, state = init_segmentation_params(jax.random.key(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    from s3od_tpu.ops.qkv_project import pack_encoder_qkv
+    # The REAL serving tree (BN folded, bf16, qkv packed) — what the
+    # predictor compiles against; unfolded profiles overstated the trunk
+    # by the eval-BN passes (r5).
+    from s3od_tpu.predictor import prepare_serving_params
 
-    params = pack_encoder_qkv(params, cfg.encoder.num_heads)
+    params, state, cfg = prepare_serving_params(
+        params, state, cfg, jnp.bfloat16
+    )
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
 
     p = 1024 // cfg.encoder.patch_size
