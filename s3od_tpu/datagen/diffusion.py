@@ -246,9 +246,31 @@ class ConceptAttentionPipeline:
                 # so the serve-time merge scale matches training exactly.
                 from s3od_tpu.convert import load_native
 
+                lora_path = lora
                 lora, lmeta = load_native(lora)
                 if alpha is None and lmeta:
                     alpha = float(np.asarray(lmeta.get("alpha")))
+                pack_order = (lmeta or {}).get("pack_order")
+                if pack_order is not None and np.asarray(
+                        pack_order).tobytes() != b"diffusers_v1":
+                    raise ValueError(
+                        f"LoRA artifact pack_order={pack_order!r} does not "
+                        "match this build's diffusers_v1 latent packing "
+                        "(pack_latents channel order ch*4+dy*2+dx); it was "
+                        "trained against a different packing and its "
+                        "x_embedder/proj_out adapters would be misread. "
+                        "Re-train or convert (docs/MIGRATION.md)."
+                    )
+                if pack_order is None:
+                    import warnings
+
+                    warnings.warn(
+                        f"LoRA artifact {lora_path} has no pack_order tag: "
+                        "if it was trained before the pack_latents "
+                        "channel-order fix (docs/MIGRATION.md 'Artifact "
+                        "versioning') its adapters will be misinterpreted.",
+                        stacklevel=2,
+                    )
             def _first_a(node):  # first adapter's A: (in, rank)
                 if isinstance(node, dict):
                     if "A" in node:

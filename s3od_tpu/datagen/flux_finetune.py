@@ -124,7 +124,13 @@ def run(config_path: str, *, _mmdit_cfg=None, _vae=None, _text=None,
     # training exactly (ConceptAttentionPipeline lora=path).
     save_native(out, lora,
                 {"alpha": np.float32(lcfg.alpha),
-                 "rank": np.int32(lcfg.rank)})
+                 "rank": np.int32(lcfg.rank),
+                 # Latent-pack-order format tag: adapters trained after
+                 # the pack_latents channel-order fix (diffusers
+                 # ch*4+dy*2+dx) carry this; loaders reject untagged
+                 # artifacts instead of silently misreading them
+                 # (ADVICE r4, docs/MIGRATION.md "Artifact versioning").
+                 "pack_order": np.bytes_(b"diffusers_v1")})
     logger.info("wrote %s", out)
     return out
 

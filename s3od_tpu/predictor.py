@@ -90,7 +90,13 @@ def build_serving_forward(cfg, compute_dtype, convt_up=None,
       reference `src/s3od/predictor.py:126-130`) and only the selected
       mask is read back, rounded to uint8 — (B, S, S) u8 + fp32 ious,
       ~1 MB/img (6x less transfer; quantization error <= 1/510 pre-resize,
-      below the fixture tolerance — tests/test_serving_and_augment.py)."""
+      below the fixture tolerance — tests/test_serving_and_augment.py).
+    - "best_small": "best" plus a 2x2 average-pool before readback —
+      (B, S/2, S/2) u8, ~0.26 MB/img at 1024² (4x less again); the host
+      bilinearly restores the canvas before unpadding. Soft-mask
+      low-pass + re-interpolation: boundary-subpixel error after the
+      resize to the original size, quality-gated by
+      tests/test_serving_and_augment.py::test_payload_best_small."""
     mean = jnp.asarray(IMAGENET_MEAN * 255.0)
     inv_std = jnp.asarray(1.0 / (IMAGENET_STD * 255.0))
     dtype = compute_dtype
@@ -104,12 +110,15 @@ def build_serving_forward(cfg, compute_dtype, convt_up=None,
             serving_fast_output=True, convt_up=convt_up,
         )
         ious = jax.nn.sigmoid(out["pred_iou"])
-        if payload == "best":
+        if payload in ("best", "best_small"):
             best = jnp.argmax(ious, axis=-1)  # (B,)
             logits = jnp.take_along_axis(
                 out["pred_masks"], best[:, None, None, None], axis=-1
             )[..., 0]  # (B, S, S)
             mask = jax.nn.sigmoid(logits.astype(jnp.float32))
+            if payload == "best_small":
+                b, s, _ = mask.shape
+                mask = mask.reshape(b, s // 2, 2, s // 2, 2).mean((2, 4))
             mask_u8 = jnp.round(mask * 255.0).astype(jnp.uint8)
             return mask_u8, ious.astype(jnp.float32)
         # Masks stay NHWC in the compute dtype (the fp32-NCHW
@@ -236,9 +245,9 @@ class BackgroundRemoval:
         self.mean = IMAGENET_MEAN
         self.std = IMAGENET_STD
         self._jit_cache: Dict[Any, Any] = {}
-        # batch -> deserialized jax.export Exported for the AOT fast path
-        # (populated by from_serving_bundle).
-        self._aot: Dict[int, Any] = {}
+        # (batch, payload) -> deserialized jax.export Exported for the
+        # AOT fast path (populated by from_serving_bundle).
+        self._aot: Dict[Tuple[int, str], Any] = {}
         self._aot_canvas: Optional[int] = None
 
     @classmethod
@@ -441,8 +450,22 @@ class BackgroundRemoval:
         argmax-IoU mask and quantized it to uint8 (payload="best");
         only unpad -> antialiased resize -> RGBA remain. ``all_masks``
         carries just the selected mask (shape (1, H, W)); ``all_ious``
-        is still the full vector so selection is reconstructible."""
-        mask = mask_u8.astype(np.float32) * (1.0 / 255.0)  # (S, S)
+        is still the full vector so selection is reconstructible.
+
+        A half-resolution mask (payload="best_small") is bilinearly
+        restored to the canvas first so the unpad offsets stay exact."""
+        mask = mask_u8.astype(np.float32) * (1.0 / 255.0)  # (S, S) or (S/2,)
+        canvas = max(pad_info["resized_size"])  # longest side == canvas
+        if mask.shape[0] != canvas:
+            try:
+                import cv2
+
+                mask = cv2.resize(mask, (canvas, canvas),
+                                  interpolation=cv2.INTER_LINEAR)
+            except ImportError:  # pragma: no cover
+                mask = resize_bilinear_numpy(
+                    mask[None], (canvas, canvas), h_axis=1, w_axis=2)[0]
+            mask = np.clip(mask, 0.0, 1.0)
         unpadded = remove_padding(mask[None], pad_info)
         m = _masks_to_original(unpadded, pad_info["original_size"])
         alpha = (m[0] * 255).astype(np.uint8)
@@ -465,7 +488,7 @@ class BackgroundRemoval:
             self.params, self.state, jnp.asarray(padded[None])
         )
         all_ious = np.asarray(ious[0], dtype=np.float32)
-        if payload == "best":
+        if payload in ("best", "best_small"):
             return self._postprocess_best(
                 image, pad_info, np.asarray(out[0]), all_ious
             )
@@ -557,8 +580,8 @@ class BackgroundRemoval:
             # issue 2*batch device->host transfers — costly over the relay).
             ious_np = np.asarray(ious, dtype=np.float32)
             out = []
-            if payload == "best":
-                masks_u8 = np.asarray(masks)  # (B, S, S) uint8
+            if payload in ("best", "best_small"):
+                masks_u8 = np.asarray(masks)  # (B, S, S) or (B,S/2,S/2) u8
                 for j, (image, pad_info) in enumerate(zip(arrays, pad_infos)):
                     out.append(self._postprocess_best(
                         image, pad_info, masks_u8[j], ious_np[j]
@@ -674,8 +697,8 @@ class BackgroundRemoval:
                 self.image_size, convt_up, payload=payload
             )(self.params, self.state, batch_j)
             ious = np.asarray(ious, dtype=np.float32)
-            if payload == "best":
-                masks_u8 = np.asarray(masks)  # (B, S, S) uint8
+            if payload in ("best", "best_small"):
+                masks_u8 = np.asarray(masks)  # (B, S, S) or (B,S/2,S/2) u8
                 for j in range(take):
                     results.append(self._postprocess_best(
                         arrays[i + j], pre[i + j][1], masks_u8[j], ious[j]

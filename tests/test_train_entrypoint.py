@@ -93,12 +93,16 @@ def test_train_entrypoint_end_to_end(tmp_path):
     assert len(res.all_ious) == 3
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 2)])
-def test_train_step_device_count_invariance(mesh_shape):
+def test_train_step_device_count_invariance():
     """One train step on mesh {1} vs {data:2, fsdp:2} with the SAME
     global batch must produce the same loss and parameters (sync-BN
     batch stats are global under jit; gradient reduction is exact; the
-    {2,2} mesh exercises both the data and fsdp axes)."""
+    {2,2} mesh exercises both the data and fsdp axes).
+
+    Both meshes run inside ONE test function (not parametrize sharing a
+    function attribute): running a single case with -k, reordering, or
+    pytest-xdist must not let the comparison silently never execute
+    (ADVICE r4)."""
     import optax
 
     from s3od_tpu.configs import tiny_test_config
@@ -123,27 +127,29 @@ def test_train_step_device_count_invariance(mesh_shape):
             (rng.random((4, 64, 64)) > 0.7).astype(np.float32)),
     }
 
-    dp, fsdp = mesh_shape
-    mesh = make_mesh(dp=dp, fsdp=fsdp, devices=jax.devices()[: dp * fsdp])
-    params, bn_state = init_segmentation_params(jax.random.key(0), cfg)
-    state = TrainState.create(params, bn_state, optimizer)
-    state = TrainState(
-        params=shard_params(state.params, mesh),
-        bn_state=state.bn_state,
-        opt_state=shard_params(state.opt_state, mesh),
-        step=state.step,
-    )
-    step = make_train_step(cfg, loss_module, optimizer, accum_steps=1)
-    new_state, out = step(
-        state, shard_batch(batch, mesh), jnp.asarray(0.0), jax.random.key(7)
-    )
+    results = []
+    for dp, fsdp in [(1, 1), (2, 2)]:
+        mesh = make_mesh(dp=dp, fsdp=fsdp,
+                         devices=jax.devices()[: dp * fsdp])
+        params, bn_state = init_segmentation_params(jax.random.key(0), cfg)
+        state = TrainState.create(params, bn_state, optimizer)
+        state = TrainState(
+            params=shard_params(state.params, mesh),
+            bn_state=state.bn_state,
+            opt_state=shard_params(state.opt_state, mesh),
+            step=state.step,
+        )
+        step = make_train_step(cfg, loss_module, optimizer, accum_steps=1)
+        new_state, out = step(
+            state, shard_batch(batch, mesh), jnp.asarray(0.0),
+            jax.random.key(7),
+        )
+        results.append((
+            float(out["loss"]),
+            jax.tree.leaves(jax.tree.map(np.asarray, new_state.params)),
+        ))
 
-    loss = float(out["loss"])
-    flat = jax.tree.leaves(jax.tree.map(np.asarray, new_state.params))
-    if not hasattr(test_train_step_device_count_invariance, "_ref"):
-        test_train_step_device_count_invariance._ref = (loss, flat)
-        return
-    ref_loss, ref_flat = test_train_step_device_count_invariance._ref
+    (ref_loss, ref_flat), (loss, flat) = results
     assert abs(loss - ref_loss) < 1e-5 * max(1.0, abs(ref_loss))
     worst = max(
         float(np.max(np.abs(a - b))) for a, b in zip(flat, ref_flat)
