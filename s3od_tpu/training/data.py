@@ -357,13 +357,31 @@ def build_dataset(
     seed: int = 42,
     debug_subset_fraction: Optional[float] = None,
     flux_features_dir: Optional[str] = None,
+    cache: bool = False,
+    cache_root: Optional[str] = None,
 ):
+    """``cache=True`` serves pre-decoded letterbox canvases from uint8
+    memmap shards (s3od_tpu/training/cache.py) — decode once per
+    (root, image_size) instead of per epoch; masks then flow uint8
+    end-to-end. Not applicable to the FLUX-feature path (variable bucket
+    shapes)."""
     if flux_features_dir:
         parts = [
             FluxFeatureDataset(
                 p, image_size, split, val_split, seed,
                 flux_features_dir=flux_features_dir,
                 debug_subset_fraction=debug_subset_fraction,
+            )
+            for p in dataset_paths
+        ]
+    elif cache:
+        from s3od_tpu.training.cache import CachedMaskFolderDataset
+
+        parts = [
+            CachedMaskFolderDataset(
+                p, image_size, split, val_split, seed,
+                debug_subset_fraction=debug_subset_fraction,
+                cache_root=cache_root,
             )
             for p in dataset_paths
         ]
@@ -381,8 +399,10 @@ def build_dataset(
 class PrefetchLoader:
     """Thread-pool batch loader with host-side geometric augmentation.
 
-    Yields {"images": uint8 (B,S,S,3), "masks": float32 (B,S,S)} numpy
-    batches. Deterministic per-epoch shuffling from (seed, epoch).
+    Yields {"images": uint8 (B,S,S,3), "masks": (B,S,S)} numpy batches —
+    masks are float32 in [0,1], or uint8 0..255 when the dataset is a
+    memmap-cached one (training/cache.py). Deterministic per-epoch
+    shuffling from (seed, epoch).
     """
 
     def __init__(
@@ -494,10 +514,13 @@ class PrefetchLoader:
                     len(load_times), avg,
                     f", RSS {rss:.2f}GB" if rss else "",
                 )
-            return {
-                "images": np.stack(imgs),
-                "masks": np.stack(masks).astype(np.float32),
-            }
+            masks_arr = np.stack(masks)
+            if masks_arr.dtype != np.uint8:
+                # Cached datasets yield uint8 masks (shipped uint8 over the
+                # wire, decoded on device); everything else normalizes to
+                # float32 here as before.
+                masks_arr = masks_arr.astype(np.float32)
+            return {"images": np.stack(imgs), "masks": masks_arr}
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

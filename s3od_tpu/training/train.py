@@ -237,13 +237,17 @@ def train(argv: Optional[list] = None) -> Dict[str, float]:
     else:
         global_batch = int(cfg.dataset.train_batch_size) * n_dev * accum
 
+    # dataset.cache=true: pre-decoded uint8 letterbox memmap cache (decode
+    # once per dataset, not per epoch) — removes the PNG-decode host bill
+    # that dominates 1024px training wall clock on few-core hosts.
+    use_cache = bool(cfg.dataset.get("cache")) and not flux_dir
     train_ds = build_dataset(paths, image_size, "train",
                              float(cfg.dataset.val_split), seed,
                              cfg.get("debug_subset_fraction"),
-                             flux_features_dir=flux_dir)
+                             flux_features_dir=flux_dir, cache=use_cache)
     val_ds = build_dataset(paths, image_size, "val",
                            float(cfg.dataset.val_split), seed,
-                           flux_features_dir=flux_dir)
+                           flux_features_dir=flux_dir, cache=use_cache)
     augmenting = cfg.dataset.transform_mode != "test" and not is_teacher
     rrc_p = 0.5 if augmenting else 0.0
     train_loader = PrefetchLoader(
@@ -624,12 +628,15 @@ def _log_val_images(writer, state, batch, mcfg, compute_dtype, epoch,
         state.params, state.bn_state, x.astype(compute_dtype), mcfg,
         training=False, compute_dtype=compute_dtype,
     )
+    gt = np.asarray(batch["masks"][:max_images])
+    if gt.dtype == np.uint8:  # cached loader ships masks uint8 0..255
+        gt = gt.astype(np.float32) / 255.0
     logger_ = ImageLogger(max_images)
     logger_.maybe_add(
         np.asarray(x),
         np.asarray(jax.nn.sigmoid(out["pred_masks"])),
         np.asarray(out["pred_iou"]),
-        np.asarray(batch["masks"][:max_images]),
+        gt,
     )
     logger_.flush(writer, "val", epoch)
 

@@ -66,6 +66,11 @@ def main():
                          "this weight (the r4 selection-head fix: "
                          "benchmarks/exp_iou_selection.py — selection gap "
                          "0.020 -> 0.006 at tiny scale)")
+    ap.add_argument("--cache", action="store_true",
+                    help="pre-decoded uint8 letterbox memmap cache "
+                         "(training/cache.py): decode once per dataset, "
+                         "not per epoch — removes the dominant host bill "
+                         "of 1024px training on a 1-core host")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (mechanics dry-run)")
     ap.add_argument("--checkpoint-path", default=None,
@@ -145,6 +150,8 @@ def main():
     ) + (
         [f"loss.rank_weight={args.rank_weight}"]
         if args.rank_weight is not None else []
+    ) + (
+        ["dataset.cache=true"] if args.cache else []
     ))
     print("final metrics:", json.dumps(metrics, indent=None, default=float))
 
