@@ -33,29 +33,6 @@ sys.path.insert(0, ".")
 from benchmarks._harness import preflight  # noqa: E402
 
 
-class StubTextEncoders:
-    """Deterministic random embeddings in the real CLIP/T5 shapes (zero
-    egress: the actual encoders' weights are unreachable)."""
-
-    def __init__(self, text_dim, pooled_dim, n_txt=512, seed=0):
-        self.rng = np.random.default_rng(seed)
-        self.text_dim, self.pooled_dim, self.n_txt = text_dim, pooled_dim, n_txt
-
-    def encode(self, prompts):
-        t5 = self.rng.standard_normal(
-            (len(prompts), self.n_txt, self.text_dim)).astype(np.float32) * 0.2
-        pooled = self.rng.standard_normal(
-            (len(prompts), self.pooled_dim)).astype(np.float32) * 0.2
-        return t5, pooled
-
-    def encode_concepts(self, concepts):
-        emb = self.rng.standard_normal(
-            (1, len(concepts), self.text_dim)).astype(np.float32) * 0.2
-        pooled = self.rng.standard_normal(
-            (1, self.pooled_dim)).astype(np.float32) * 0.2
-        return emb, pooled
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/gen_onchip")
@@ -120,10 +97,39 @@ def main():
     print(f"VAE: {n_vae/1e6:.0f}M params")
     timings["init+upload"] = time.perf_counter() - t0
 
+    # Real on-chip text conditioning (r5, VERDICT item 5): JAX T5 + CLIP
+    # encoders with random weights + the deterministic hash tokenizer —
+    # the full encode_prompt/encode_concepts GRAPH runs on the device
+    # (reference `flux_with_concept_attention_pipeline.py:907-941`), not
+    # stub random embeddings. Depth is reduced like the MMDiT (full T5-XXL
+    # is 9.4 GB bf16; 4 layers at the real 4096/10240 dims keeps the
+    # per-token math identical while leaving HBM for the 11.6 GB MMDiT).
+    from s3od_tpu.datagen.text_encoding import JaxTextEncoders
+    from s3od_tpu.models.text_encoders import CLIPTextConfig, T5Config
+
+    if args.tiny:
+        t5_cfg = T5Config(vocab_size=256, d_model=mcfg.text_dim, d_kv=8,
+                          d_ff=4 * mcfg.text_dim, num_layers=2, num_heads=2)
+        clip_cfg = CLIPTextConfig(vocab_size=128,
+                                  hidden_size=mcfg.pooled_dim,
+                                  intermediate_size=2 * mcfg.pooled_dim,
+                                  num_layers=2, num_heads=2)
+    else:
+        t5_cfg = T5Config(num_layers=4)
+        clip_cfg = CLIPTextConfig()  # full CLIP-L text tower (123M)
+    text_enc = JaxTextEncoders.random_init(
+        seed=11, t5_cfg=t5_cfg, clip_cfg=clip_cfg
+    )
+    n_text = sum(
+        x.size for x in jax.tree.leaves((text_enc.t5_params,
+                                         text_enc.clip_params))
+    )
+    print(f"text encoders: {n_text/1e6:.0f}M params "
+          f"(T5 {t5_cfg.num_layers}L + CLIP {clip_cfg.num_layers}L, on-chip)")
+
     pipe = ConceptAttentionPipeline(
-        params, mcfg,
-        text_encoders=StubTextEncoders(mcfg.text_dim, mcfg.pooled_dim),
-        vae=vae, num_inference_steps=28,
+        params, mcfg, text_encoders=text_enc, vae=vae,
+        num_inference_steps=28,
     )
 
     # --- FluxDPT teacher (ViT-L + fusion, random) ------------------------
