@@ -67,7 +67,16 @@ def tiny_mmdit_config() -> MMDiTConfig:
 
 
 def _linear(x, p):
-    y = jnp.matmul(x, p["kernel"].astype(x.dtype))
+    if "kernel_q" in p:
+        # Int8 weight residency (ops/quant.py): kernels live in HBM as
+        # int8 + per-column scale; the dequant fuses into this matmul's
+        # operand read, so full-depth FLUX fits one 16 GB chip.
+        from s3od_tpu.ops.quant import dequant_kernel
+
+        k = dequant_kernel(p, x.dtype)
+    else:
+        k = p["kernel"].astype(x.dtype)
+    y = jnp.matmul(x, k)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -412,17 +421,39 @@ def minmax_normalize(maps: jax.Array) -> jax.Array:
 
 
 def init_mmdit_params(
-    key: jax.Array, cfg: MMDiTConfig, dtype=jnp.float32
+    key: jax.Array, cfg: MMDiTConfig, dtype=jnp.float32,
+    int8_weights: bool = False,
 ) -> dict:
     """Random-init params. ``dtype=jnp.bfloat16`` materializes weights
     directly in bf16 — at FLUX scale the fp32 tree alone is ~24 GB and
-    OOMs a 16 GB chip before any cast can run (r3 receipt)."""
+    OOMs a 16 GB chip before any cast can run (r3 receipt).
+
+    ``int8_weights=True`` materializes eligible kernels directly in the
+    int8-residency form (ops/quant.py: int8 kernel + per-column scale) —
+    the FULL-depth tree (~23.8 GB bf16) then fits one 16 GB chip at
+    ~11.9 GB, and init happens on-device without a host round trip
+    (uploading 12 GB through the relay costs ~7 min). Real checkpoints
+    use `quantize_tree_int8` host-side instead."""
     n_keys = 32 + 10 * (cfg.num_dual_blocks + cfg.num_single_blocks)
     ks = iter(jax.random.split(key, n_keys))
     D = cfg.hidden_size
     mlp = int(D * cfg.mlp_ratio)
 
     def lin(din, dout, scale=0.02):
+        if int8_weights:
+            from s3od_tpu.ops.quant import MIN_QUANT_DIM
+
+            if din >= MIN_QUANT_DIM and dout >= MIN_QUANT_DIM:
+                # Uniform int8 * (scale/127) per column ~ uniform weights
+                # with absmax `scale` — statistically equivalent to the
+                # float init for capacity/perf receipts.
+                return {
+                    "kernel_q": jax.random.randint(
+                        next(ks), (din, dout), -127, 128, jnp.int8),
+                    "kernel_scale": jnp.full((dout,), scale / 127.0,
+                                             jnp.float32),
+                    "bias": jnp.zeros((dout,), dtype),
+                }
         return {
             "kernel": scale * jax.random.normal(next(ks), (din, dout), dtype),
             "bias": jnp.zeros((dout,), dtype),
