@@ -231,6 +231,54 @@ def test_payload_best_matches_full(circle_image):
         np.testing.assert_allclose(s.all_ious, one.all_ious, atol=1e-6)
 
 
+def test_payload_best_small(circle_image):
+    """Half-resolution reduced payload (payload="best_small": on-device
+    2x2 average pool of the selected soft mask, ~4x less readback than
+    "best") — identical SELECTION, near-identical final mask after host
+    bilinear restore (a soft mask is low-frequency; boundary error is
+    subpixel at the original size)."""
+    cfg = tiny_test_config()
+    params, state = init_segmentation_params(jax.random.key(0), cfg)
+    pred = BackgroundRemoval.from_params(
+        params, state, cfg, image_size=128, dtype="float32"
+    )
+    img, _ = circle_image
+    rng = np.random.default_rng(5)
+    images = [
+        img,
+        (rng.random((90, 130, 3)) * 255).astype(np.uint8),
+    ]
+    for im in images:
+        ref = pred.remove_background(im, payload="best")
+        small = pred.remove_background(im, payload="best_small")
+        # Same on-device selection and full iou vector.
+        np.testing.assert_allclose(small.all_ious, ref.all_ious, atol=1e-6)
+        assert small.all_masks.shape == ref.all_masks.shape
+        # Quality gate: low-pass + restore stays close to the full-res
+        # best mask everywhere, and the thresholded masks agree almost
+        # everywhere (the fixture-tolerance analogue).
+        d = np.abs(small.predicted_mask - ref.predicted_mask)
+        assert d.mean() < 0.01, d.mean()
+        agree = np.mean(
+            (small.predicted_mask > 0.5) == (ref.predicted_mask > 0.5)
+        )
+        assert agree > 0.99, agree
+
+    # stream + batch variants agree with the single-shot path
+    streamed = list(pred.remove_background_stream(
+        images, depth=2, batch=2, payload="best_small"
+    ))
+    batched = pred.remove_background_batch(
+        images, chunk=2, payload="best_small"
+    )
+    for im, s, b in zip(images, streamed, batched):
+        one = pred.remove_background(im, payload="best_small")
+        np.testing.assert_allclose(s.predicted_mask, one.predicted_mask,
+                                   atol=1e-6)
+        np.testing.assert_allclose(b.predicted_mask, one.predicted_mask,
+                                   atol=1e-6)
+
+
 def test_bucket_upload_matches_canvas(circle_image):
     """Bucketed upload (granule-rounded letterbox buffer + on-device
     canvas completion) must reproduce the host-canvas path bit-exactly
