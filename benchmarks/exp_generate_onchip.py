@@ -86,9 +86,20 @@ def main():
                            feature_taps=(2, 8, 13, 18))
         vcfg = VAEConfig()  # FLUX dims: 128 base, 4 stages, 16 latents
     t0 = time.perf_counter()
-    params = init_mmdit_params(jax.random.key(0), mcfg, dtype=jnp.bfloat16)
+    # int8 weight residency (exp_full_depth_int8.py receipt): bf16
+    # half-depth (11.6 GB) + T5-4L/CLIP text towers + VAE + teacher
+    # overflow the 16 GB chip; int8 kernels halve the MMDiT to ~5.8 GB so
+    # the WHOLE factory (text encode -> denoise -> VAE -> teacher) is
+    # resident at once. Compute stays bf16 (dequant in operand fusion).
+    params = init_mmdit_params(
+        jax.random.key(0), mcfg, dtype=jnp.bfloat16,
+        int8_weights=not args.tiny,
+    )
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    print(f"MMDiT: {n_params/1e9:.2f}B params ({n_params*2/1e9:.1f} GB bf16)")
+    from s3od_tpu.ops.quant import tree_bytes
+
+    print(f"MMDiT: {n_params/1e9:.2f}B params "
+          f"({tree_bytes(params)/1e9:.1f} GB resident)")
 
     enc, dec = init_vae_params(jax.random.key(1), vcfg)
     vae = VAE(jax.tree.map(lambda x: x.astype(jnp.bfloat16), enc),
